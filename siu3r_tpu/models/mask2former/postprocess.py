@@ -1,0 +1,239 @@
+"""Panoptic post-processing + Gaussian label lift (jit-able redesign).
+
+The reference post-process (image_processing_video_mask2former.py:1238-1481)
+is ragged and host-side: per image it keeps a variable number of queries,
+assigns segment ids in a python loop with stuff fusion, and emits a ragged
+``query_class_logits`` list. Here the same math runs as dense, fixed-shape
+ops (vmapped over batch, lax.scan over the 100 queries for sequential id
+assignment), with kept queries packed into ``max_lift_queries`` padded slots
+so everything stays jit-able; only the human-readable ``segments_info`` list
+is built on the host from the dense outputs.
+
+Semantics parity notes:
+  * masks are resized to the fixed (256, 256) mask size, sigmoided, THEN
+    resized to the target size (two-stage, like reference :1299-1308 +
+    :1386-1391);
+  * per-pixel query assignment = argmax over score-weighted kept-query
+    probabilities (:1394-1403); queries failing the area/ratio checks keep
+    their pixels unassigned (background), exactly like the reference loop;
+  * stuff classes in ``label_ids_to_fuse`` share one segment id (:1430-1460).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from siu3r_tpu.models.layers import bilinear_resize_torch
+
+MASK_SIZE = (256, 256)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "target_size",
+        "label_ids_to_fuse",
+        "max_lift_queries",
+        "num_labels",
+        "threshold",
+        "mask_threshold",
+        "overlap_area_threshold",
+    ),
+)
+def panoptic_segmentation(
+    class_logits: jax.Array,
+    mask_logits: jax.Array,
+    *,
+    target_size: Tuple[int, int],
+    label_ids_to_fuse: Tuple[int, ...],
+    num_labels: int,
+    max_lift_queries: int = 16,
+    threshold: float = 0.5,
+    mask_threshold: float = 0.5,
+    overlap_area_threshold: float = 0.8,
+    word_logits: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """class_logits [B, Q, C+1]; mask_logits [B, Q, V, h, w];
+    word_logits optional [B, n_words, Q] (refer-seg restricts kept queries to
+    word-argmax queries, reference :1330-1350).
+
+    Returns dense arrays (see body) — batch axis preserved.
+    """
+    b, q, v, mh, mw = mask_logits.shape
+    th, tw = target_size
+
+    # [B*Q*V, h, w, 1] -> mask-size resize -> sigmoid
+    ml = mask_logits.reshape(b * q * v, mh, mw, 1)
+    ml = bilinear_resize_torch(ml, MASK_SIZE, align_corners=False)
+    mask_probs_256 = jax.nn.sigmoid(ml)  # [B*Q*V, 256, 256, 1]
+    mask_probs = bilinear_resize_torch(mask_probs_256, (th, tw), align_corners=False)
+    mask_probs = mask_probs.reshape(b, q, v, th, tw)
+
+    class_probs = jax.nn.softmax(class_logits, axis=-1)  # [B, Q, C+1]
+    pred_scores = class_probs.max(axis=-1)
+    pred_labels = class_probs.argmax(axis=-1)
+
+    keep = (pred_labels != num_labels) & (pred_scores > threshold)  # [B, Q]
+    if word_logits is not None:
+        # preserve only queries that some word argmaxes to
+        preserve = jnp.zeros((b, q), dtype=bool)
+        w_arg = word_logits.argmax(axis=-1)  # [B, n_words]
+        preserve = preserve.at[
+            jnp.arange(b)[:, None], w_arg
+        ].set(True)
+        keep = keep & preserve
+
+    # score-weighted argmax over kept queries
+    weighted = mask_probs * pred_scores[:, :, None, None, None]
+    weighted_masked = jnp.where(keep[:, :, None, None, None], weighted, -1.0)
+    pixel_query = weighted_masked.argmax(axis=1)  # [B, V, H, W]
+
+    fuse_mask = jnp.zeros((num_labels + 1,), dtype=bool)
+    for lbl in label_ids_to_fuse:
+        fuse_mask = fuse_mask.at[lbl].set(True)
+
+    def per_item(keep_i, labels_i, scores_i, weighted_i, pixel_query_i):
+        # areas per query
+        q_ids = jnp.arange(q)
+        assigned = pixel_query_i[None] == q_ids[:, None, None, None]  # [Q,V,H,W]
+        assigned = assigned & keep_i[:, None, None, None]
+        mask_area = assigned.sum(axis=(1, 2, 3))
+        original_area = (weighted_i >= mask_threshold).sum(axis=(1, 2, 3))
+        ratio = mask_area / jnp.maximum(original_area, 1)
+        exists = (
+            keep_i
+            & (mask_area > 0)
+            & (original_area > 0)
+            & (ratio > overlap_area_threshold)
+        )
+
+        # sequential segment-id assignment with stuff fusion (lax.scan over
+        # queries, mirroring the reference's python loop :1408-1460)
+        def assign(carry, k):
+            current_id, stuff_mem = carry
+            lbl = labels_i[k]
+            fuse = fuse_mask[lbl]
+            ex = exists[k]
+            mem_id = stuff_mem[lbl]
+            reuse = ex & (mem_id > 0)
+            new_id = current_id + 1
+            seg_id = jnp.where(ex, jnp.where(reuse, mem_id, new_id), 0)
+            current_id = jnp.where(ex & ~reuse, new_id, current_id)
+            write = ex & fuse & (mem_id == 0)
+            stuff_mem = jnp.where(
+                write, stuff_mem.at[lbl].set(seg_id), stuff_mem
+            )
+            return (current_id, stuff_mem), seg_id
+
+        (_, _), seg_ids = jax.lax.scan(
+            assign,
+            (jnp.int32(0), jnp.zeros((num_labels + 1,), jnp.int32)),
+            jnp.arange(q),
+        )
+
+        # per-pixel maps
+        pix_exists = exists[pixel_query_i]  # [V, H, W]
+        segmentation = jnp.where(pix_exists, seg_ids[pixel_query_i], 0)
+        semantic = jnp.where(pix_exists, labels_i[pixel_query_i] + 1, 0)
+
+        # packed lift slots in kept order (reference keep_querys :1457)
+        slot = jnp.where(exists, jnp.cumsum(exists) - 1, q + max_lift_queries)
+        lifted = exists & (slot < max_lift_queries)
+        return (
+            exists,
+            seg_ids,
+            segmentation.astype(jnp.int32),
+            semantic.astype(jnp.int32),
+            slot,
+            lifted,
+        )
+
+    exists, seg_ids, segmentation, semantic, slot, lifted = jax.vmap(per_item)(
+        keep, pred_labels, pred_scores, weighted, pixel_query
+    )
+
+    # scatter kept queries into padded lift slots
+    def pack(slot_i, lifted_i, class_probs_i, mask_probs_i, scores_i):
+        qc_class = jnp.zeros((max_lift_queries, num_labels + 1), class_probs_i.dtype)
+        qc_mask = jnp.zeros((max_lift_queries, v, th, tw), mask_probs_i.dtype)
+        qscores = jnp.zeros((max_lift_queries,), scores_i.dtype)
+        valid = jnp.zeros((max_lift_queries,), bool)
+        tgt = jnp.where(lifted_i, slot_i, max_lift_queries)  # OOB drops
+        qc_class = qc_class.at[tgt].set(class_probs_i, mode="drop")
+        qc_mask = qc_mask.at[tgt].set(mask_probs_i, mode="drop")
+        qscores = qscores.at[tgt].set(scores_i, mode="drop")
+        valid = valid.at[tgt].set(lifted_i, mode="drop")
+        # empty fallback: single pseudo-query, no-object prob 1
+        # (reference :1363-1374)
+        none_kept = ~lifted_i.any()
+        qc_class = jnp.where(
+            none_kept,
+            jnp.zeros_like(qc_class).at[0, num_labels].set(1.0),
+            qc_class,
+        )
+        qc_mask = jnp.where(none_kept, jnp.ones_like(qc_mask).at[1:].set(0.0), qc_mask)
+        return qc_class, qc_mask, qscores, valid
+
+    qc_class, qc_mask, query_scores, qc_valid = jax.vmap(pack)(
+        slot, lifted, class_probs, mask_probs, pred_scores
+    )
+
+    return {
+        "segmentation": segmentation,  # [B, V, H, W] segment ids (0 = bg)
+        "semantic": semantic,  # [B, V, H, W] label+1 (0 = bg)
+        "keep": keep,
+        "exists": exists,  # [B, Q] query got a segment
+        "seg_ids": seg_ids,  # [B, Q]
+        "pred_labels": pred_labels,
+        "pred_scores": pred_scores,
+        "lift_slot": slot,  # [B, Q]
+        "lifted": lifted,
+        "qc_class_probs": qc_class,  # [B, Q_lift, C+1]
+        "qc_mask_probs": qc_mask,  # [B, Q_lift, V, H, W]
+        "query_scores": query_scores,  # [B, Q_lift]
+        "qc_valid": qc_valid,  # [B, Q_lift]
+    }
+
+
+def qc_logits_per_pixel(result: Dict[str, jax.Array]) -> jax.Array:
+    """Per-Gaussian query-class confidence: class_probs x mask_probs
+    (reference :1462-1467 then model.py:252-274 rearrange to (v*h*w, q, c)).
+
+    Returns [B, V*H*W, Q_lift, C+1].
+    """
+    qc_class = result["qc_class_probs"]  # [B, S, C+1]
+    qc_mask = result["qc_mask_probs"]  # [B, S, V, H, W]
+    b, s, v, h, w = qc_mask.shape
+    prod = qc_class[:, :, None, :] * qc_mask.reshape(b, s, v * h * w)[..., None]
+    # [B, S, V*H*W, C+1] -> [B, V*H*W, S, C+1]
+    return prod.transpose(0, 2, 1, 3)
+
+
+def segments_info(result: Dict[str, jax.Array], fuse_ids: Sequence[int]) -> List[List[dict]]:
+    """Host-side segments_info list (reference results[i]["segments_info"])."""
+    exists = jax.device_get(result["exists"])
+    seg_ids = jax.device_get(result["seg_ids"])
+    labels = jax.device_get(result["pred_labels"])
+    scores = jax.device_get(result["pred_scores"])
+    fuse = set(int(x) for x in fuse_ids)
+    out = []
+    for bi in range(exists.shape[0]):
+        infos = []
+        for k in range(exists.shape[1]):
+            if not exists[bi, k]:
+                continue
+            lbl = int(labels[bi, k])
+            infos.append(
+                {
+                    "id": int(seg_ids[bi, k]),
+                    "label_id": lbl,
+                    "was_fused": lbl in fuse,
+                    "score": round(float(scores[bi, k]), 6),
+                }
+            )
+        out.append(infos)
+    return out

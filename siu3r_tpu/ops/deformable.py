@@ -1,0 +1,108 @@
+"""Multi-scale deformable attention (jnp, gather-based).
+
+Matches the reference's pure-PyTorch grid_sample implementation
+(src/models/vit_adapter/blocks.py:216-267 and src/models/mask2former/utils.py
+multi_scale_deformable_attention): bilinear sampling with zero padding and
+``align_corners=False`` semantics. Spatial shapes are static (python ints) —
+everything stays jit-able with fixed shapes; XLA lowers the gathers well on
+TPU (profiled before considering a Pallas variant, SURVEY.md §7.3.5).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample_bilinear(img: jax.Array, grid: jax.Array) -> jax.Array:
+    """torch.nn.functional.grid_sample(mode=bilinear, padding_mode=zeros,
+    align_corners=False) for flattened sample points.
+
+    img: [B, H, W, C]; grid: [B, P, 2] normalized (x, y) in [-1, 1].
+    Returns [B, P, C].
+    """
+    b, h, w, c = img.shape
+    gx = (grid[..., 0] + 1.0) * w / 2.0 - 0.5
+    gy = (grid[..., 1] + 1.0) * h / 2.0 - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = gx - x0
+    wy = gy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        flat = img.reshape(b, h * w, c)
+        idx = yc * w + xc  # [B, P]
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return vals * valid[..., None].astype(img.dtype)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    wx = wx[..., None].astype(img.dtype)
+    wy = wy[..., None].astype(img.dtype)
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def multi_scale_deformable_attention(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """reference mask2former/utils.py multi_scale_deformable_attention.
+
+    value: [B, Len_in, heads, head_dim] (Len_in = sum of H*W over levels)
+    spatial_shapes: static [(H, W)] per level
+    sampling_locations: [B, Lq, heads, L, P, 2] in [0, 1] (x, y)
+    attention_weights: [B, Lq, heads, L, P] (softmaxed over L*P)
+    Returns [B, Lq, heads*head_dim].
+    """
+    b, _, n_heads, head_dim = value.shape
+    _, lq, _, n_levels, n_points, _ = sampling_locations.shape
+    grids = 2 * sampling_locations - 1
+    start = 0
+    out = jnp.zeros((b, lq, n_heads, head_dim), dtype=jnp.float32)
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        val_l = value[:, start : start + hh * ww]  # [B, H*W, heads, hd]
+        start += hh * ww
+        img = (
+            val_l.transpose(0, 2, 1, 3).reshape(b * n_heads, hh, ww, head_dim)
+        )
+        grid_l = (
+            grids[:, :, :, lvl]  # [B, Lq, heads, P, 2]
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b * n_heads, lq * n_points, 2)
+        )
+        sampled = grid_sample_bilinear(img, grid_l)  # [B*heads, Lq*P, hd]
+        sampled = sampled.reshape(b, n_heads, lq, n_points, head_dim)
+        w_l = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # [B,heads,Lq,P]
+        out = out + jnp.einsum("bhqp,bhqpd->bqhd", w_l.astype(jnp.float32), sampled.astype(jnp.float32))
+    return out.reshape(b, lq, n_heads * head_dim).astype(value.dtype)
+
+
+def reference_points_for_shapes(
+    spatial_shapes: Sequence[Tuple[int, int]]
+) -> jax.Array:
+    """Pixel-center reference points, normalized per level and concatenated
+    (reference vit_adapter/blocks.py:10-24). Returns [1, sum(H*W), 1, 2]."""
+    pts = []
+    for hh, ww in spatial_shapes:
+        ys = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
+        xs = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        pts.append(jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
+    ref = jnp.concatenate(pts, axis=0)[None, :, None, :]
+    return ref
