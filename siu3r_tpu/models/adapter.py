@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from siu3r_tpu.models.layers import ConvTranspose2dTorch
+from siu3r_tpu.models.layers import ConvTranspose2dTorch, bilinear_resize_torch
 from siu3r_tpu.ops.deformable import (
     multi_scale_deformable_attention,
     reference_points_for_shapes,
@@ -300,9 +300,7 @@ class CroCoViTAdapter(nn.Module):
 
         if self.add_vit_feature:
             x1, x2, x3, x4 = outs
-            rs = lambda t, hh, ww: jax.image.resize(
-                t, (b, hh, ww, self.embed_dim), method="linear"
-            )
+            rs = lambda t, hh, ww: bilinear_resize_torch(t, (hh, ww), align_corners=False)
             c1o = c1o + rs(x1, h // 4, w // 4)
             c2o = c2o + rs(x2, h // 8, w // 8)
             c3o = c3o + x3

@@ -224,22 +224,25 @@ class ConvTranspose2dTorch(nn.Module):
 def bilinear_resize_torch(
     x: jax.Array, out_hw: tuple[int, int], align_corners: bool = False
 ) -> jax.Array:
-    """Bilinear resize on NHWC matching torch.nn.functional.interpolate.
+    """Bilinear resize on NHWC matching torch.nn.functional.interpolate
+    (antialias=False — torch never low-pass-filters on downscale, unlike
+    jax.image.resize, so this is a direct gather-based resampler).
 
-    torch's align_corners=False uses half-pixel centers (same as
-    jax.image.resize 'linear'); align_corners=True maps corner to corner.
+    align_corners=False: src = (dst + 0.5) * (in/out) - 0.5 (half-pixel).
+    align_corners=True: src = dst * (in-1)/(out-1).
     """
     b, h, w, c = x.shape
     oh, ow = out_hw
     if (oh, ow) == (h, w):
         return x
-    if not align_corners:
-        return jax.image.resize(x, (b, oh, ow, c), method="linear")
-    # align_corners=True: sample positions i*(h-1)/(oh-1)
+
     def grid(src, dst):
-        if dst == 1:
-            return jnp.zeros((1,), jnp.float32)
-        return jnp.arange(dst, dtype=jnp.float32) * (src - 1) / (dst - 1)
+        if align_corners:
+            if dst == 1:
+                return jnp.zeros((1,), jnp.float32)
+            return jnp.arange(dst, dtype=jnp.float32) * (src - 1) / (dst - 1)
+        pos = (jnp.arange(dst, dtype=jnp.float32) + 0.5) * (src / dst) - 0.5
+        return jnp.clip(pos, 0.0, src - 1)
 
     ys = grid(h, oh)
     xs = grid(w, ow)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from siu3r_tpu.config import Mask2formerCfg
+from siu3r_tpu.models.layers import bilinear_resize_torch
 from siu3r_tpu.models.mask2former.position import sine_pos_embed_2d
 from siu3r_tpu.ops.deformable import (
     multi_scale_deformable_attention,
@@ -141,8 +142,8 @@ class VideoMask2FormerPixelDecoder(nn.Module):
 
         # FPN extra level at 1/4 (reference :2026-2059, :2166-2180)
         lateral = _InputProjection(d, use_bias=False, dtype=self.dtype, name="adapter_1")(flat[0])
-        up = jax.image.resize(
-            outputs[-1], (b * v, lateral.shape[1], lateral.shape[2], d), method="linear"
+        up = bilinear_resize_torch(
+            outputs[-1], (lateral.shape[1], lateral.shape[2]), align_corners=False
         )
         out = lateral + up
         out = nn.Conv(d, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="layer_1_conv")(out)
