@@ -91,6 +91,68 @@ def sample_image_grid(shape: tuple[int, ...]):
     return coordinates, stacked_indices
 
 
+def get_local_rays(coordinates: jnp.ndarray, intrinsics: jnp.ndarray) -> jnp.ndarray:
+    """Camera-space unit ray directions (reference projection.py:117-128)."""
+    directions = unproject(coordinates, jnp.ones_like(coordinates[..., 0]), intrinsics)
+    return directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)
+
+
+def intersect_rays(
+    origins_x: jnp.ndarray,
+    directions_x: jnp.ndarray,
+    origins_y: jnp.ndarray,
+    directions_y: jnp.ndarray,
+    eps: float = 1e-5,
+    inf: float = 1e10,
+) -> jnp.ndarray:
+    """Least-squares intersection of ray pairs (reference
+    projection.py:190-244). Parallel pairs return ``inf`` (kept dense under
+    jit instead of the reference's boolean-mask compaction)."""
+    shape = jnp.broadcast_shapes(
+        origins_x.shape, directions_x.shape, origins_y.shape, directions_y.shape
+    )
+    ox = jnp.broadcast_to(origins_x, shape)
+    dx = jnp.broadcast_to(directions_x, shape)
+    oy = jnp.broadcast_to(origins_y, shape)
+    dy = jnp.broadcast_to(directions_y, shape)
+    parallel = jnp.sum(dx * dy, axis=-1) > 1 - eps
+
+    def n_mat(d):
+        return jnp.einsum("...i,...j->...ij", d, d) - jnp.eye(3)
+
+    nx, ny = n_mat(dx), n_mat(dy)
+    lhs = nx + ny
+    rhs = jnp.einsum("...ij,...j->...i", nx, ox) + jnp.einsum(
+        "...ij,...j->...i", ny, oy
+    )
+    sol = jnp.linalg.lstsq(lhs, rhs)[0]
+    return jnp.where(parallel[..., None], inf, sol)
+
+
+def sample_training_rays(
+    image: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    extrinsics: jnp.ndarray,
+    num_rays: int,
+    rng,
+):
+    """Random ray/pixel sampling for ray-supervised training (reference
+    projection.py:154-187). image [B, V, H, W, C] (NHWC here)."""
+    import jax
+
+    b, v, h, w, _ = image.shape
+    xy, _ = sample_image_grid((h, w))
+    origins, directions = get_world_rays(
+        xy[..., None, None, :], extrinsics, intrinsics
+    )
+    origins = origins.transpose(2, 3, 0, 1, 4).reshape(b, v * h * w, 3)
+    directions = directions.transpose(2, 3, 0, 1, 4).reshape(b, v * h * w, 3)
+    pixels = image.reshape(b, v * h * w, -1)
+    idx = jax.random.randint(rng, (b, num_rays), 0, v * h * w)
+    take = lambda t: jnp.take_along_axis(t, idx[..., None], axis=1)
+    return take(origins), take(directions), take(pixels)
+
+
 def get_fov(intrinsics: jnp.ndarray) -> jnp.ndarray:
     """Horizontal/vertical FoV from normalized intrinsics
     (reference projection.py:247-261)."""

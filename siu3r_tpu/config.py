@@ -265,20 +265,33 @@ def load_config(path: Optional[str | Path] = None, overrides: Optional[list[str]
 
 
 def bind_scannet_classes(cfg: RootCfg) -> RootCfg:
-    """Wire dataset-dependent class tables (reference src/config.py:166-199)."""
-    from siu3r_tpu.utils.scannet_constant import (
-        PANOPTIC_SEMANTIC2NAME,
-        STUFF_CLASSES,
-        THING_CLASSES,
-    )
+    """Wire dataset-dependent class tables (reference src/config.py:166-199):
+    ScanNet-20 / ADE20K / COCO selected by the dataset name."""
+    name = cfg.datamodule.dataset_cfg.name
+    if name in ("ade20k", "coco"):
+        from siu3r_tpu.utils import class_constants as cc
+
+        id2label = cc.panoptic_id2name(name)
+        stuffs = cc.stuff_classes(name)
+        things = cc.thing_classes(name)
+    else:
+        from siu3r_tpu.utils.scannet_constant import (
+            PANOPTIC_SEMANTIC2NAME,
+            STUFF_CLASSES,
+            THING_CLASSES,
+        )
+
+        id2label = dict(PANOPTIC_SEMANTIC2NAME)
+        stuffs = list(STUFF_CLASSES)
+        things = list(THING_CLASSES)
 
     m2f = cfg.pipeline.model.mask2former
     if not m2f.id2label:
-        m2f.id2label = dict(PANOPTIC_SEMANTIC2NAME)
-        m2f.label_ids_to_fuse = list(STUFF_CLASSES)
+        m2f.id2label = id2label
+        m2f.label_ids_to_fuse = list(stuffs)
     ev = cfg.pipeline.evaluator
     if not ev.id2label:
-        ev.id2label = dict(PANOPTIC_SEMANTIC2NAME)
-        ev.stuffs = list(STUFF_CLASSES)
-        ev.things = list(THING_CLASSES)
+        ev.id2label = id2label
+        ev.stuffs = list(stuffs)
+        ev.things = list(things)
     return cfg

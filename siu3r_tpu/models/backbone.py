@@ -256,6 +256,47 @@ class AsymmetricCroCo(_CroCoBase):
         )
 
 
+class CroCoEncoderOnly(_CroCoBase):
+    """Encoder-only backbone (reference backbone_croco.py:593-838): the
+    shared ViT encoder over both views with no cross-view decoder and no
+    intrinsic token — used for 2D segmentation pretraining setups."""
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = PatchEmbed(
+            patch_size=c.patch_size, embed_dim=c.enc_embed_dim, dtype=self.dtype
+        )
+        self.enc_blocks = nn.scan(
+            _EncBlockScan,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.enc_depth,
+            in_axes=nn.broadcast,
+        )(num_heads=c.enc_num_heads, rope_base=c.rope_base, dtype=self.dtype, name="enc_blocks")
+        self.enc_norm = LayerNorm(name="enc_norm")
+
+    def __call__(self, images: jax.Array) -> BackboneOutput:
+        """images [B, 2, H, W, 3]. No intrinsic token (reference :674-693
+        leaves intrinsics_embed None)."""
+        b, v, h, w, _ = images.shape
+        x, pos = self.patch_embed(images.reshape(b * v, h, w, 3))
+        x, all_feat_stack = self.enc_blocks(x, pos)
+        feat = self.enc_norm(x)
+        l = feat.shape[1]
+        feat = feat.reshape(b, v, l, -1)
+        depth = self.cfg.enc_depth
+        af = all_feat_stack.reshape(depth, b, v, l, -1)
+        return BackboneOutput(
+            feat1=feat[:, 0],
+            feat2=feat[:, 1],
+            all_feat1=[af[i, :, 0] for i in range(depth)],
+            all_feat2=[af[i, :, 1] for i in range(depth)],
+            dec1=[],
+            dec2=[],
+            shape=(h, w),
+        )
+
+
 class AsymmetricCroCoMulti(_CroCoBase):
     """Multi-view backbone (reference backbone_croco.py:350-590)."""
 

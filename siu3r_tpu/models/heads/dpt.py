@@ -43,10 +43,11 @@ class ResidualConvUnit(nn.Module):
 
 class FeatureFusionBlock(nn.Module):
     """RefineNet fusion (reference dpt_block.py:150-237): optional skip via
-    resConfUnit1, resConfUnit2, 2x bilinear upsample (align_corners=True),
-    1x1 out_conv."""
+    resConfUnit1, resConfUnit2, 2x bilinear upsample (align_corners=True,
+    skippable for the multi-resolution head), 1x1 out_conv."""
 
     features: int
+    skip_upsample: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,8 +56,9 @@ class FeatureFusionBlock(nn.Module):
         if skip is not None:
             out = out + ResidualConvUnit(self.features, dtype=self.dtype, name="resConfUnit1")(skip)
         out = ResidualConvUnit(self.features, dtype=self.dtype, name="resConfUnit2")(out)
-        h, w = out.shape[1], out.shape[2]
-        out = bilinear_resize_torch(out, (2 * h, 2 * w), align_corners=True)
+        if not self.skip_upsample:
+            h, w = out.shape[1], out.shape[2]
+            out = bilinear_resize_torch(out, (2 * h, 2 * w), align_corners=True)
         out = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(out)
         return out
 
@@ -149,6 +151,70 @@ class DPTHead(nn.Module):
             x = nn.Conv(self.num_channels, (1, 1), dtype=self.dtype, name="head_conv2")(x)
             return x
         raise ValueError(self.head_type)
+
+
+class MultiResDPTGSHead(nn.Module):
+    """Multi-resolution Gaussian-parameter head (reference
+    src/models/heads/multi_res_dpt_gs_head.py): the DPT trunk with
+    skip-upsample fusion emits raw GS parameters at 1/4, 1/8, 1/16, 1/32,
+    each with its own downsampled-RGB skip conv and prediction head. Kept
+    for head_factory parity (not wired into the flagship model, reference
+    heads/__init__.py:33-39)."""
+
+    num_channels: int
+    layer_dims: Sequence[int] = (96, 192, 384, 768)
+    feature_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hooked_tokens: List[jax.Array],
+        image: jax.Array,
+        image_size: Tuple[int, int],
+        patch_size: int = 16,
+    ) -> List[jax.Array]:
+        h, w = image_size
+        nh, nw = h // patch_size, w // patch_size
+        layers = []
+        for idx, tok in enumerate(hooked_tokens):
+            b, n, c = tok.shape
+            x = tok.reshape(b, nh, nw, c)
+            x = nn.Conv(self.layer_dims[idx], (1, 1), dtype=self.dtype, name=f"act_{idx}_conv")(x)
+            if idx == 0:
+                x = ConvTranspose2dTorch(self.layer_dims[0], 4, 4, dtype=self.dtype, name="act_0_up")(x)
+            elif idx == 1:
+                x = ConvTranspose2dTorch(self.layer_dims[1], 2, 2, dtype=self.dtype, name="act_1_up")(x)
+            elif idx == 3:
+                x = nn.Conv(self.layer_dims[3], (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="act_3_down")(x)
+            x = nn.Conv(self.feature_dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name=f"layer{idx + 1}_rn")(x)
+            layers.append(x)
+
+        paths = []
+        out = FeatureFusionBlock(self.feature_dim, skip_upsample=True, dtype=self.dtype, name="refinenet4")(layers[3])
+        paths.append(out)  # 1/32
+        for i, name in ((2, "refinenet3"), (1, "refinenet2"), (0, "refinenet1")):
+            up = bilinear_resize_torch(
+                out, (layers[i].shape[1], layers[i].shape[2]), align_corners=True
+            )
+            out = FeatureFusionBlock(
+                self.feature_dim, skip_upsample=True, dtype=self.dtype, name=name
+            )(up, layers[i])
+            paths.append(out)
+        # paths: [1/32, 1/16, 1/8, 1/4]
+
+        outs = []
+        for path, ds in zip(reversed(paths), (4, 8, 16, 32)):
+            img_ds = bilinear_resize_torch(image, (h // ds, w // ds), align_corners=True)
+            skip = nn.relu(
+                nn.Conv(self.feature_dim, (7, 7), padding=3, dtype=self.dtype, name=f"input_merger_ds{ds}")(img_ds)
+            )
+            x = path + skip
+            x = nn.Conv(self.feature_dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name=f"head_ds{ds}_conv1")(x)
+            x = nn.relu(x)
+            x = nn.Conv(self.num_channels, (1, 1), dtype=self.dtype, name=f"head_ds{ds}_conv2")(x)
+            outs.append(x)
+        return outs  # raw GS params at 1/4, 1/8, 1/16, 1/32
 
 
 def postprocess_pts3d(raw: jax.Array) -> jax.Array:

@@ -135,9 +135,11 @@ def panoptic_segmentation(
             jnp.arange(q),
         )
 
-        # per-pixel maps
+        # per-pixel maps; all-background images use -1 like the reference's
+        # empty fallback (:1360-1362)
         pix_exists = exists[pixel_query_i]  # [V, H, W]
         segmentation = jnp.where(pix_exists, seg_ids[pixel_query_i], 0)
+        segmentation = jnp.where(exists.any(), segmentation, -1)
         semantic = jnp.where(pix_exists, labels_i[pixel_query_i] + 1, 0)
 
         # packed lift slots in kept order (reference keep_querys :1457)
@@ -196,6 +198,79 @@ def panoptic_segmentation(
         "qc_mask_probs": qc_mask,  # [B, Q_lift, V, H, W]
         "query_scores": query_scores,  # [B, Q_lift]
         "qc_valid": qc_valid,  # [B, Q_lift]
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target_size", "num_labels", "num_topk", "threshold"),
+)
+def instance_segmentation(
+    class_logits: jax.Array,
+    mask_logits: jax.Array,
+    *,
+    target_size: Tuple[int, int],
+    num_labels: int,
+    num_topk: int = 10,
+    threshold: float = 0.5,
+) -> Dict[str, jax.Array]:
+    """Instance post-processing (reference
+    image_processing_video_mask2former.py:1057-1237): top-10 (query, class)
+    pairs by class score, masks binarized at logit 0, mask-quality-weighted
+    scores, sequential instance ids; emits the factored per-query confidence
+    (class_probs, mask_probs) instead of materializing the
+    [V, Q, C+1, H, W] product the reference builds (:1220-1228).
+    """
+    b, q, v, mh, mw = mask_logits.shape
+    th, tw = target_size
+
+    ml = mask_logits.reshape(b * q * v, mh, mw, 1)
+    ml = bilinear_resize_torch(ml, MASK_SIZE, align_corners=False)
+    ml = ml.reshape(b, q, v, *MASK_SIZE)
+
+    class_probs = jax.nn.softmax(class_logits, axis=-1)
+    scores = class_probs[..., :-1]  # [B, Q, C]
+
+    def per_item(scores_i, ml_i):
+        flat = scores_i.reshape(-1)  # [Q*C]
+        top_scores, top_idx = jax.lax.top_k(flat, num_topk)
+        top_labels = top_idx % num_labels
+        top_queries = top_idx // num_labels
+        sel = ml_i[top_queries]  # [K, V, 256, 256]
+        binarized = (sel > 0).astype(jnp.float32)
+        mask_quality = (jax.nn.sigmoid(sel) * binarized).sum(axis=(1, 2, 3)) / (
+            binarized.sum(axis=(1, 2, 3)) + 1e-6
+        )
+        pred_scores = top_scores * mask_quality
+        resized = bilinear_resize_torch(
+            binarized.reshape(num_topk * v, *MASK_SIZE, 1),
+            (th, tw),
+            align_corners=False,
+        ).reshape(num_topk, v, th, tw)
+        keep = (pred_scores >= threshold) & (binarized.sum(axis=(1, 2, 3)) > 0)
+        # sequential ids in top-k order; later instances overwrite overlaps
+        # (reference :1186-1201 loop semantics)
+        seg = jnp.full((v, th, tw), -1, jnp.int32)
+        seg_id = jnp.cumsum(keep) - 1
+        for j in range(num_topk):
+            write = keep[j] & (resized[j] == 1.0)
+            seg = jnp.where(write, seg_id[j], seg)
+        return top_labels, top_queries, pred_scores, keep, seg
+
+    labels, queries, pred_scores, keep, seg = jax.vmap(per_item)(scores, ml)
+    mask_probs = jax.nn.sigmoid(
+        bilinear_resize_torch(
+            ml.reshape(b * q * v, *MASK_SIZE, 1), (th, tw), align_corners=False
+        )
+    ).reshape(b, q, v, th, tw)
+    return {
+        "segmentation": seg,  # [B, V, H, W], -1 background
+        "labels": labels,  # [B, K]
+        "queries": queries,
+        "scores": pred_scores,
+        "valid": keep,
+        "class_probs": class_probs,  # [B, Q, C+1] (confidence factor 1)
+        "mask_probs": mask_probs,  # [B, Q, V, H, W] (confidence factor 2)
     }
 
 

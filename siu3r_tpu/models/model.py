@@ -180,7 +180,9 @@ class SIU3RModel(nn.Module):
 
         flat = gaussians.flatten_views()
         semantic = post["semantic"].reshape(b, v * h * w)
-        instance = post["segmentation"].reshape(b, v * h * w)
+        # gaussian labels use 0 background even when the seg map carries the
+        # reference's -1 empty-image fill (model.py:267-271 inits zeros)
+        instance = jnp.maximum(post["segmentation"], 0).reshape(b, v * h * w)
         flat = flat.replace(semantic_labels=semantic, instance_labels=instance)
         if enable_query_class_logit_lift:
             flat = flat.replace(
@@ -189,3 +191,52 @@ class SIU3RModel(nn.Module):
                 seg_query_valid=post["qc_valid"],
             )
         return ModelOutput(gaussians=flat, seg=seg, post=post, pts3d=pts3d)
+
+    def seg_forward(
+        self,
+        images: jax.Array,
+        intrinsics: jax.Array,
+        word_embeddings: Optional[jax.Array] = None,
+        train: bool = False,
+    ):
+        """Understanding-only path (reference model.py:391-467): backbone +
+        adapter + Mask2Former + panoptic post-process, skipping the gaussian
+        heads entirely. Returns (SegOutput, post dict)."""
+        c = self.cfg
+        b, v, h, w, _ = images.shape
+        if c.num_views == 2:
+            out = self.backbone(images, intrinsics)
+            all_feat_stacked = [
+                jnp.concatenate([f1, f2], axis=0)
+                for f1, f2 in zip(out.all_feat1, out.all_feat2)
+            ]
+            imgs_flat = jnp.concatenate([images[:, 0], images[:, 1]], axis=0)
+        else:
+            mout = self.backbone(images, intrinsics)
+            all_feat_stacked = [
+                f.reshape((b * v,) + f.shape[2:]) for f in mout.all_feat
+            ]
+            imgs_flat = images.reshape(b * v, h, w, 3)
+        feats = self.adapter(imgs_flat, all_feat_stacked, train=train)
+        multi_scale_feat = []
+        for f in feats:
+            if c.num_views == 2:
+                f = jnp.stack([f[:b], f[b:]], axis=1)
+            else:
+                f = f.reshape((b, v) + f.shape[1:])
+            multi_scale_feat.append(f.astype(jnp.float32))
+        seg: SegOutput = self.mask2former(
+            multi_scale_feat, word_embeddings=word_embeddings
+        )
+        m2f = c.mask2former
+        post = panoptic_segmentation(
+            seg.class_queries_logits,
+            seg.masks_queries_logits,
+            target_size=(h, w),
+            label_ids_to_fuse=tuple(m2f.label_ids_to_fuse),
+            num_labels=m2f.num_labels,
+            max_lift_queries=m2f.max_lift_queries,
+            threshold=m2f.seg_threshold,
+            word_logits=seg.word_logits,
+        )
+        return seg, post

@@ -56,6 +56,68 @@ def grid_sample_bilinear(img: jax.Array, grid: jax.Array) -> jax.Array:
     )
 
 
+def _msda_matmul(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """MXU formulation of deformable attention for small value grids.
+
+    Random gathers are hostile to the TPU memory system; since every value
+    level here is tiny (<= 32x32 tokens), the bilinear point sampling is
+    expressed as a dense sparse-in-structure weight matrix
+    A[b, h, q, hw] = sum_p attn_w * bilinear_corner_weights (built with
+    fused iota comparisons) followed by one einsum against the value level —
+    pure MXU work instead of ~P*4 row gathers. Numerically identical to the
+    gather path (same zero padding / align_corners=False semantics).
+    """
+    b, _, n_heads, head_dim = value.shape
+    _, lq, _, n_levels, n_points, _ = sampling_locations.shape
+    out = jnp.zeros((b, lq, n_heads, head_dim), dtype=jnp.float32)
+    start = 0
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        val_l = value[:, start : start + hh * ww]  # [B, HW, heads, d]
+        start += hh * ww
+        loc = sampling_locations[:, :, :, lvl]  # [B, Q, H, P, 2] in [0,1]
+        gx = loc[..., 0] * ww - 0.5
+        gy = loc[..., 1] * hh - 0.5
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        wx = gx - x0
+        wy = gy - y0
+        aw = attention_weights[:, :, :, lvl]  # [B, Q, H, P]
+        hw_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, 1, 1, hh * ww), 4
+        )
+        a = jnp.zeros((b, lq, n_heads, 1, hh * ww), jnp.float32)
+        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            yi = y0 + dy
+            xi = x0 + dx
+            cw = (wy if dy else (1 - wy)) * (wx if dx else (1 - wx)) * aw
+            valid = (yi >= 0) & (yi < hh) & (xi >= 0) & (xi < ww)
+            idx = (
+                jnp.clip(yi, 0, hh - 1) * ww + jnp.clip(xi, 0, ww - 1)
+            ).astype(jnp.int32)
+            contrib = jnp.where(valid, cw, 0.0)
+            a = a + jnp.where(
+                hw_iota == idx[..., None].astype(jnp.int32),
+                contrib[..., None],
+                0.0,
+            ).sum(axis=3, keepdims=True)
+        a = a[:, :, :, 0]  # [B, Q, H, HW]
+        out = out + jnp.einsum(
+            "bqhw,bwhd->bqhd",
+            a,
+            val_l.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    return out.reshape(b, lq, n_heads * head_dim).astype(value.dtype)
+
+
+_MATMUL_MAX_HW = 2048
+
+
 def multi_scale_deformable_attention(
     value: jax.Array,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -70,6 +132,10 @@ def multi_scale_deformable_attention(
     attention_weights: [B, Lq, heads, L, P] (softmaxed over L*P)
     Returns [B, Lq, heads*head_dim].
     """
+    if sum(hh * ww for hh, ww in spatial_shapes) <= _MATMUL_MAX_HW:
+        return _msda_matmul(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
     b, _, n_heads, head_dim = value.shape
     _, lq, _, n_levels, n_points, _ = sampling_locations.shape
     grids = 2 * sampling_locations - 1

@@ -1,0 +1,5 @@
+from siu3r_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    shard_batch,
+    replicate,
+)

@@ -1,0 +1,276 @@
+"""Training/validation pipeline (the reference's Lightning Pipeline
+equivalent, src/pipeline.py — as pure jitted step functions over a device
+mesh instead of a Trainer/DDP runtime).
+
+Loss recipe parity (pipeline.py:216-281, :337-364):
+  total = 0.05 * seg + 0.05 * instance-masked depth smoothness
+        + MSE(render, gt) + 0.5 * LPIPS(half-res)
+
+Distributed: data-parallel via jit + NamedSharding over the mesh's ``data``
+axis — batch sharded, params replicated, gradient all-reduce inserted by XLA
+(the reference's Lightning DDP/NCCL equivalent, SURVEY.md §2.3/§5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from siu3r_tpu.config import RootCfg
+from siu3r_tpu.models.layers import bilinear_resize_torch
+from siu3r_tpu.models.model import SIU3RModel
+from siu3r_tpu.renderer import render_gaussians
+from siu3r_tpu.train import lpips as lpips_mod
+from siu3r_tpu.train.losses import (
+    depth_smoothness_loss,
+    mse_render_loss,
+    segmentation_loss,
+)
+from siu3r_tpu.train.optimizer import make_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class Pipeline:
+    """Owns the model + optimizer + loss config; produces jittable steps."""
+
+    def __init__(self, cfg: RootCfg, steps_per_epoch: int = 1000,
+                 lpips_weights: Optional[str] = None,
+                 lpips_enabled: bool = True):
+        self.cfg = cfg
+        self.model = SIU3RModel(cfg.pipeline.model)
+        self.lpips_enabled = lpips_enabled
+        self.lpips_params = (
+            lpips_mod.init_lpips_params(lpips_weights) if lpips_enabled else None
+        )
+        self.steps_per_epoch = steps_per_epoch
+        self._tx = None
+
+    def init_state(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> TrainState:
+        images = batch["context_views_images"]
+        intr = batch["context_views_intrinsics"]
+        variables = self.model.init(rng, images, intr)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self._tx = make_optimizer(
+            params,
+            self.cfg.optimizer,
+            self.cfg.trainer,
+            steps_per_epoch=self.steps_per_epoch,
+            freeze_encoder=self.cfg.pipeline.model.croco.freeze == "encoder",
+        )
+        opt_state = self._tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def tx(self):
+        assert self._tx is not None, "call init_state first"
+        return self._tx
+
+    def loss_fn(self, params, batch_stats, batch, rng):
+        m2f = self.cfg.pipeline.model.mask2former
+        pcfg = self.cfg.pipeline
+        images = batch["context_views_images"]
+        intr = batch["context_views_intrinsics"]
+        h, w = images.shape[2], images.shape[3]
+
+        out, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            intr,
+            train=True,
+            mutable=["batch_stats"],
+        )
+
+        render = render_gaussians(
+            out.gaussians,
+            batch["target_views_extrinsics"],
+            batch["target_views_intrinsics"],
+            (h, w),
+        )
+
+        losses: Dict[str, jax.Array] = {}
+        seg_losses = segmentation_loss(
+            out.seg.aux_class_logits,
+            out.seg.aux_mask_logits,
+            batch["gt_masks"],
+            batch["gt_classes"],
+            batch["gt_valid"],
+            rng,
+            num_labels=m2f.num_labels,
+            class_weight=m2f.class_weight,
+            mask_weight=m2f.mask_weight,
+            dice_weight=m2f.dice_weight,
+            no_object_weight=m2f.no_object_weight,
+            num_points=m2f.train_num_points,
+            oversample=m2f.oversample_ratio,
+            importance=m2f.importance_sample_ratio,
+        )
+        losses["seg"] = seg_losses["seg_total"]
+        loss = pcfg.weight_seg_loss * losses["seg"]
+
+        # depth smoothness on the context views (the first V target views by
+        # datamodule convention — reference context_in_target_ids)
+        v = images.shape[1]
+        ctx_depth = render.depth[:, :v]
+        seg_mask = out.post["segmentation"]
+        losses["depth_smoothness"] = depth_smoothness_loss(ctx_depth, seg_mask)
+        loss = loss + pcfg.weight_depth_smoothness * losses["depth_smoothness"]
+
+        target_images = batch["target_views_images"]
+        losses["render_mse"] = mse_render_loss(render.color, target_images)
+        loss = loss + losses["render_mse"]
+
+        if self.lpips_enabled:
+            b, n = target_images.shape[0], target_images.shape[1]
+            half = (h // 2, w // 2)
+            pred_half = bilinear_resize_torch(
+                render.color.reshape(b * n, h, w, 3), half, align_corners=True
+            )
+            tgt_half = bilinear_resize_torch(
+                target_images.reshape(b * n, h, w, 3), half, align_corners=True
+            )
+            losses["lpips"] = lpips_mod.lpips(self.lpips_params, pred_half, tgt_half)
+            loss = loss + 0.5 * losses["lpips"]
+        else:
+            losses["lpips"] = jnp.zeros(())
+
+        losses["total"] = loss
+        return loss, (mutated["batch_stats"], losses)
+
+    def train_step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        (loss, (new_stats, losses)), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    def make_dp_train_step(self, mesh, axis: str = "data"):
+        """Data-parallel train step via shard_map with EXPLICIT collectives
+        (pmean of grads/losses/batch-stats over the ``axis``) — the
+        reference's DDP gradient all-reduce (SURVEY.md §2.3), expressed as
+        first-class XLA collectives rather than GSPMD auto-partitioning.
+        State replicated; batch sharded on its leading dim; per-shard loss
+        RNG decorrelated by axis index."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        def per_shard(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            (loss, (new_stats, losses)), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, rng)
+            grads = jax.lax.pmean(grads, axis)
+            losses = jax.lax.pmean(losses, axis)
+            new_stats = jax.lax.pmean(new_stats, axis)
+            updates, new_opt = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                    step=state.step + 1,
+                ),
+                losses,
+            )
+
+        mapped = shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def make_eval_step(self):
+        return jax.jit(self.eval_step)
+
+    def eval_step(self, state: TrainState, batch):
+        """Validation forward: lift + novel-view render (reference
+        step_w_query_class_logit_lift, pipeline.py:89-214)."""
+        images = batch["context_views_images"]
+        intr = batch["context_views_intrinsics"]
+        h, w = images.shape[2], images.shape[3]
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            intr,
+            enable_query_class_logit_lift=True,
+        )
+        render = render_gaussians(
+            out.gaussians,
+            batch["target_views_extrinsics"],
+            batch["target_views_intrinsics"],
+            (h, w),
+        )
+        from siu3r_tpu.renderer import render_qc_factored
+
+        b, v = images.shape[0], images.shape[1]
+        s = out.post["qc_mask_probs"].shape[1]
+        qc_mask_cols = (
+            out.post["qc_mask_probs"].reshape(b, s, v * h * w).transpose(0, 2, 1)
+        )
+        qc = render_qc_factored(
+            out.gaussians,
+            out.post["qc_class_probs"],
+            qc_mask_cols,
+            batch["target_views_extrinsics"],
+            batch["target_views_intrinsics"],
+            (h, w),
+        )
+        return out, render, qc
+
+
+def lift_rendered_qc(
+    qc: jax.Array, query_scores: jax.Array, threshold: float = 0.3,
+    num_queries: int = 100, stuff_ids: Tuple[int, ...] = (0, 1),
+):
+    """Novel-view semantic/instance maps from rendered query-class logits
+    (reference pipeline.py:137-202).
+
+    qc [B, V, S, C+1, H, W]; returns (sem_id [B, V, H, W],
+    ins_id [B, V, H, W]) with the no-object channel rolled to index 0,
+    threshold 0.3, and stuff instance ids remapped to num_queries+stuff+1."""
+    c_logit = qc.max(axis=2)  # [B, V, C+1, H, W]
+    q_index = qc.argmax(axis=2)
+    # roll no-object channel (last) to position 0
+    c_logit = jnp.concatenate([c_logit[:, :, -1:], c_logit[:, :, :-1]], axis=2)
+    q_index = jnp.concatenate([q_index[:, :, -1:], q_index[:, :, :-1]], axis=2)
+    sem_logits = c_logit.max(axis=2)  # [B, V, H, W]
+    sem_id = c_logit.argmax(axis=2)
+    q_at_sem = jnp.take_along_axis(q_index, sem_id[:, :, None], axis=2)[:, :, 0]
+    ins_id = q_at_sem + 1
+    sem_id = jnp.where(sem_logits < threshold, 0, sem_id)
+    ins_id = jnp.where(sem_id == 0, 0, ins_id)
+    for stuff in stuff_ids:
+        stuff_mask = sem_id == (stuff + 1)
+        ins_id = jnp.where(stuff_mask, num_queries + stuff + 1, ins_id)
+    return sem_id, ins_id

@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -194,8 +195,107 @@ def _raster_kernel(
     ).reshape(8, TILE_H, TILE_W)
 
 
-@functools.partial(jax.jit, static_argnames=("k_cap", "n_channels"))
-def _rasterize_tiles(counts, row0, col0, params, colors, *, k_cap, n_channels):
+def _tiles_jnp(counts, row0, col0, params, colors):
+    """Pure-jnp twin of the Pallas kernel (same chunked GEMM compositing
+    math, no early exit) — used as the autodiff body for the custom VJP and
+    as a cross-check oracle. params [NT, K, 8]; colors [NT, K, C]."""
+    nt, k_cap, _ = params.shape
+    n_channels = colors.shape[-1]
+    npix = TILE_H * TILE_W
+    p = jnp.arange(npix)
+    n_chunks = k_cap // _CHUNK
+
+    ii = jnp.arange(_CHUNK)[:, None]
+    jj = jnp.arange(_CHUNK)[None, :]
+    tril = (jj < ii).astype(jnp.float32)
+
+    def one_tile(count, r0, c0, prm_all, col_all):
+        px = c0.astype(jnp.float32) + (p % TILE_W)[None, :]
+        py = r0.astype(jnp.float32) + (p // TILE_W)[None, :]
+
+        def chunk_step(carry, inputs):
+            trans, color_acc, depth_acc = carry
+            prm, col, base = inputs  # [CHUNK, 8], [CHUNK, C], scalar
+            dx = px - prm[:, 0:1]
+            dy = py - prm[:, 1:2]
+            power = (
+                -0.5 * (prm[:, 2:3] * dx * dx + prm[:, 4:5] * dy * dy)
+                - prm[:, 3:4] * dx * dy
+            )
+            alpha = jnp.minimum(prm[:, 5:6] * jnp.exp(power), _ALPHA_MAX)
+            alpha = jnp.where(alpha >= _ALPHA_MIN, alpha, 0.0)
+            k_ids = base + jnp.arange(_CHUNK)[:, None]
+            alpha = jnp.where(k_ids < count, alpha, 0.0)
+            logs = jnp.log1p(-alpha)
+            cum_excl = tril @ logs
+            wgt = alpha * trans * jnp.exp(cum_excl)
+            color_acc = color_acc + col.T @ wgt
+            depth_acc = depth_acc + jnp.sum(prm[:, 6:7] * wgt, axis=0, keepdims=True)
+            trans = trans * jnp.exp(jnp.sum(logs, axis=0, keepdims=True))
+            return (trans, color_acc, depth_acc), None
+
+        init = (
+            jnp.ones((1, npix), jnp.float32),
+            jnp.zeros((n_channels, npix), jnp.float32),
+            jnp.zeros((1, npix), jnp.float32),
+        )
+        prm_chunks = prm_all.reshape(n_chunks, _CHUNK, 8)
+        col_chunks = col_all.reshape(n_chunks, _CHUNK, n_channels)
+        bases = jnp.arange(n_chunks) * _CHUNK
+        (trans, color_acc, depth_acc), _ = jax.lax.scan(
+            chunk_step, init, (prm_chunks, col_chunks, bases)
+        )
+        color = color_acc.reshape(n_channels, TILE_H, TILE_W)
+        aux = jnp.concatenate(
+            [depth_acc, 1.0 - trans, jnp.zeros((6, npix), jnp.float32)], axis=0
+        ).reshape(8, TILE_H, TILE_W)
+        return color, aux
+
+    return jax.vmap(one_tile)(counts, row0, col0, params, colors)
+
+
+def _tiles_forward(counts, row0, col0, params, colors):
+    """Backend dispatch: the Pallas kernel on TPU; the jnp twin elsewhere
+    (Pallas interpret mode is orders of magnitude slower on CPU — slow
+    enough to trip XLA's 40s collective-rendezvous abort in multi-device
+    tests)."""
+    if jax.default_backend() == "tpu":
+        return _rasterize_tiles(
+            counts, row0, col0, params, colors,
+            k_cap=params.shape[1], n_channels=colors.shape[-1],
+        )
+    return _tiles_jnp(counts, row0, col0, params, colors)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _rasterize_tiles_diff(counts, row0, col0, params, colors):
+    return _tiles_forward(counts, row0, col0, params, colors)
+
+
+def _rtd_fwd(counts, row0, col0, params, colors):
+    out = _tiles_forward(counts, row0, col0, params, colors)
+    return out, (counts, row0, col0, params, colors)
+
+
+def _rtd_bwd(residuals, cotangents):
+    counts, row0, col0, params, colors = residuals
+    # differentiate the jnp twin — same math as the kernel (the kernel's
+    # whole-tile early exit only skips contributions below _T_EPS)
+    _, vjp = jax.vjp(
+        lambda prm, col: _tiles_jnp(counts, row0, col0, prm, col), params, colors
+    )
+    d_params, d_colors = vjp(cotangents)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return f0(counts), f0(row0), f0(col0), d_params, d_colors
+
+
+_rasterize_tiles_diff.defvjp(_rtd_fwd, _rtd_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap", "n_channels", "interpret"))
+def _rasterize_tiles(
+    counts, row0, col0, params, colors, *, k_cap, n_channels, interpret=False
+):
     nt = counts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -222,7 +322,7 @@ def _rasterize_tiles(counts, row0, col0, params, colors, *, k_cap, n_channels):
     return pl.pallas_call(
         functools.partial(_raster_kernel, k_cap=k_cap, n_channels=n_channels),
         grid_spec=grid_spec,
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret or jax.default_backend() != "tpu",
         out_shape=[
             jax.ShapeDtypeStruct((nt, n_channels, TILE_H, TILE_W), jnp.float32),
             jax.ShapeDtypeStruct((nt, 8, TILE_H, TILE_W), jnp.float32),
@@ -323,8 +423,8 @@ def rasterize(
             col_chunk = colors[:, c0 : c0 + cc]  # [G, cc]
             col_g = col_chunk[tables]  # [ncam, T, K, cc]
         col_g = col_g.reshape(ncam * n_tiles, max_per_tile, cc)
-        color_t, aux_t = _rasterize_tiles(
-            counts_flat, row0, col0, gathered, col_g, k_cap=max_per_tile, n_channels=cc
+        color_t, aux_t = _rasterize_tiles_diff(
+            counts_flat, row0, col0, gathered, col_g
         )
         # untile: [ncam*T, cc, TH, TW] -> [ncam, H, W, cc]
         color_t = color_t.reshape(ncam, n_ty, n_tx, cc, TILE_H, TILE_W)

@@ -1,0 +1,210 @@
+"""Training losses (reference parity).
+
+Segmentation criterion mirrors VideoMask2FormerLoss
+(video_seg_decoder.py:230-604): Hungarian-matched CE over classes with
+no-object weight 0.1, point-sampled sigmoid-BCE + dice mask losses with
+uncertainty-based sampling (12544 pts, oversample 3.0, importance 0.75),
+repeated for every auxiliary decoder layer.
+
+Pipeline losses mirror src/pipeline.py: seg x0.05, instance-masked depth
+smoothness x0.05 (:242-265), MSE render + 0.5*LPIPS at half resolution
+(:337-364).
+
+All shapes static: GT objects are padded to a fixed ``O`` with a validity
+mask; matching runs via the host-callback matcher.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from siu3r_tpu.ops.deformable import grid_sample_bilinear
+from siu3r_tpu.train.matcher import hungarian_match, sample_mask_points
+
+
+def _sample_points_one_mask(logits_hw, rng, num_points, oversample, importance):
+    """Uncertainty-based point sampling for ONE mask [H, W]
+    (reference :444-506). Returns [num_points, 2] (x, y) in [0, 1]."""
+    n_sampled = int(num_points * oversample)
+    coords = jax.random.uniform(rng, (n_sampled, 2))
+    vals = grid_sample_bilinear(
+        logits_hw[None, :, :, None], (2.0 * coords - 1.0)[None]
+    )[0, :, 0]
+    uncertainty = -jnp.abs(vals)
+    n_uncertain = int(importance * num_points)
+    n_random = num_points - n_uncertain
+    _, idx = jax.lax.top_k(uncertainty, n_uncertain)
+    picked = coords[idx]
+    rng2 = jax.random.fold_in(rng, 1)
+    extra = jax.random.uniform(rng2, (n_random, 2))
+    return jnp.concatenate([picked, extra], axis=0)
+
+
+def _mask_losses_item(
+    mask_logits,  # [Q, V, h, w]
+    gt_masks,  # [O, V, H, W]
+    assignment,  # [O] query per gt (-1 invalid)
+    rng,
+    num_points: int,
+    oversample: float,
+    importance: float,
+):
+    """Returns (ce_sum, dice_sum) over this item's matched (gt, view) rows
+    — reference loss_masks (:343-409) treats each matched (mask, frame) as a
+    row; normalization by num_masks happens at batch level."""
+    o, v = gt_masks.shape[0], gt_masks.shape[1]
+    valid = assignment >= 0
+    a = jnp.clip(assignment, 0)
+    pred = mask_logits[a]  # [O, V, h, w]
+
+    rows_pred = pred.reshape(o * v, *pred.shape[2:])
+    rows_tgt = gt_masks.reshape(o * v, *gt_masks.shape[2:])
+    rows_valid = jnp.repeat(valid, v)
+    rngs = jax.random.split(rng, o * v)
+
+    def per_row(logits_hw, tgt_hw, key):
+        coords = _sample_points_one_mask(
+            logits_hw, key, num_points, oversample, importance
+        )
+        grid = (2.0 * coords - 1.0)[None]
+        pl_ = grid_sample_bilinear(logits_hw[None, :, :, None], grid)[0, :, 0]
+        tl_ = grid_sample_bilinear(tgt_hw[None, :, :, None], grid)[0, :, 0]
+        tl_ = jax.lax.stop_gradient(tl_)
+        ce = jnp.mean(
+            jnp.maximum(pl_, 0) - pl_ * tl_ + jax.nn.softplus(-jnp.abs(pl_))
+        )
+        probs = jax.nn.sigmoid(pl_)
+        dice = 1 - (2 * jnp.sum(probs * tl_) + 1) / (
+            jnp.sum(probs) + jnp.sum(tl_) + 1
+        )
+        return ce, dice
+
+    ce, dice = jax.vmap(per_row)(rows_pred, rows_tgt, rngs)
+    ce = jnp.where(rows_valid, ce, 0.0).sum()
+    dice = jnp.where(rows_valid, dice, 0.0).sum()
+    return ce, dice
+
+
+def _label_loss(
+    class_logits,  # [B, Q, C+1]
+    gt_classes,  # [B, O]
+    assignment,  # [B, O]
+    num_labels: int,
+    no_object_weight: float,
+):
+    """Weighted CE (reference loss_labels :298-341; torch CrossEntropyLoss
+    with class weights normalizes by the summed weights of the targets)."""
+    b, q, _ = class_logits.shape
+    target = jnp.full((b, q), num_labels, jnp.int32)
+    valid = assignment >= 0
+    a = jnp.clip(assignment, 0)
+    bidx = jnp.arange(b)[:, None]
+    target = target.at[bidx, a].set(
+        jnp.where(valid, gt_classes, num_labels), mode="drop"
+    )
+    logp = jax.nn.log_softmax(class_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    weights = jnp.where(target == num_labels, no_object_weight, 1.0)
+    return (ce * weights).sum() / weights.sum()
+
+
+def segmentation_loss(
+    aux_class_logits: List[jax.Array],
+    aux_mask_logits: List[jax.Array],
+    gt_masks: jax.Array,  # [B, O, V, H, W] float binary
+    gt_classes: jax.Array,  # [B, O]
+    gt_valid: jax.Array,  # [B, O] bool
+    rng: jax.Array,
+    num_labels: int,
+    class_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    no_object_weight: float = 0.1,
+    num_points: int = 12544,
+    oversample: float = 3.0,
+    importance: float = 0.75,
+    match_points: int = 12544,
+) -> Dict[str, jax.Array]:
+    """Total criterion over the final + auxiliary decoder outputs
+    (reference VideoMask2FormerLoss.forward :508-571 + weight application
+    :2327-2331)."""
+    b = gt_masks.shape[0]
+    num_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
+    losses: Dict[str, jax.Array] = {}
+    total = 0.0
+    for li, (cls_l, msk_l) in enumerate(zip(aux_class_logits, aux_mask_logits)):
+        rng_layer = jax.random.fold_in(rng, li)
+        match_rngs = jax.random.split(jax.random.fold_in(rng_layer, 0), b)
+        assignment = jax.vmap(
+            functools.partial(
+                hungarian_match,
+                num_points=match_points,
+                cost_class=1.0,
+                cost_mask=mask_weight,
+                cost_dice=dice_weight,
+            )
+        )(cls_l, msk_l, gt_masks, gt_classes, gt_valid, match_rngs)
+
+        mask_rngs = jax.random.split(jax.random.fold_in(rng_layer, 1), b)
+        ce_sum, dice_sum = jax.vmap(
+            functools.partial(
+                _mask_losses_item,
+                num_points=num_points,
+                oversample=oversample,
+                importance=importance,
+            )
+        )(msk_l, gt_masks, assignment, mask_rngs)
+        loss_mask = ce_sum.sum() / num_masks
+        loss_dice = dice_sum.sum() / num_masks
+        loss_ce = _label_loss(cls_l, gt_classes, assignment, num_labels, no_object_weight)
+        layer_total = (
+            mask_weight * loss_mask
+            + dice_weight * loss_dice
+            + class_weight * loss_ce
+        )
+        suffix = "" if li == len(aux_class_logits) - 1 else f"_{li}"
+        losses[f"loss_mask{suffix}"] = loss_mask
+        losses[f"loss_dice{suffix}"] = loss_dice
+        losses[f"loss_cross_entropy{suffix}"] = loss_ce
+        total = total + layer_total
+    losses["seg_total"] = total
+    return losses
+
+
+def depth_smoothness_loss(depth: jax.Array, seg_mask: jax.Array) -> jax.Array:
+    """Instance-masked depth smoothness (reference pipeline.py:242-265).
+
+    depth [B, N, H, W] rendered depth at context views; seg_mask [B, N, H, W]
+    segment ids (-1 = invalid fill)."""
+    depth_dx = jnp.diff(depth, axis=-1)
+    depth_dy = jnp.diff(depth, axis=-2)
+    same_x = jnp.diff(seg_mask, axis=-1) == 0
+    same_x &= seg_mask[..., :, 1:] != -1
+    same_y = jnp.diff(seg_mask, axis=-2) == 0
+    same_y &= seg_mask[..., 1:, :] != -1
+    same_x = jax.lax.stop_gradient(same_x)
+    same_y = jax.lax.stop_gradient(same_y)
+    return (
+        jnp.abs(depth_dx * same_x).mean() + jnp.abs(depth_dy * same_y).mean()
+    )
+
+
+def mse_render_loss(render: jax.Array, target: jax.Array) -> jax.Array:
+    """Plain MSE (torchmetrics MeanSquaredError over all elements)."""
+    return jnp.mean((render - target) ** 2)
+
+
+def refer_word_match_loss(word_logits: jax.Array, assignment: jax.Array, gt_valid: jax.Array) -> jax.Array:
+    """Referring-expression loss (reference refer_seg_forward :573-594):
+    CE between word/query similarity logits and the matched query index.
+    word_logits [B, W, Q]; assignment [B, O] with word i <-> object i."""
+    b, nw, q = word_logits.shape
+    target = jnp.clip(assignment[:, :nw], 0)
+    valid = (assignment[:, :nw] >= 0) & gt_valid[:, :nw]
+    logp = jax.nn.log_softmax(word_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, ce, 0.0).sum() / jnp.maximum(valid.sum(), 1)

@@ -1,0 +1,93 @@
+"""Hungarian matching between queries and (padded) ground-truth objects.
+
+Reference: VideoMask2FormerHungarianMatcher (video_seg_decoder.py:98-226) —
+point-sampled class/mask-BCE/dice costs, scipy linear_sum_assignment on the
+host.
+
+Here the cost matrix is computed densely under jit over a fixed GT pad
+(invalid objects masked) and the assignment is solved ON-DEVICE by the
+epsilon-scaled auction algorithm (ops/lap.py): no host round-trips (the
+reference pays one scipy sync per batch item per aux layer), and it works
+inside SPMD-sharded jits where host callbacks are not supported.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siu3r_tpu.ops.deformable import grid_sample_bilinear
+
+
+def sample_mask_points(masks: jax.Array, coords: jax.Array) -> jax.Array:
+    """masks [N, V, H, W]; coords [P, 2] in [0,1] (x, y) shared across N.
+    Returns [N, V, P] bilinear samples (grid_sample semantics,
+    align_corners=False, reference utils.py:62-96)."""
+    n, v, h, w = masks.shape
+    imgs = masks.reshape(n * v, h, w, 1)
+    grid = jnp.broadcast_to(2.0 * coords - 1.0, (n * v,) + coords.shape)
+    out = grid_sample_bilinear(imgs, grid)  # [N*V, P, 1]
+    return out.reshape(n, v, -1)
+
+
+def pairwise_sigmoid_ce(inputs: jax.Array, labels: jax.Array) -> jax.Array:
+    """inputs [Q, P] logits; labels [O, P] binary. Returns [Q, O]
+    (reference utils.py:227-254)."""
+    p = inputs.shape[1]
+    pos = jax.nn.softplus(-inputs)  # BCE vs target 1
+    neg = jax.nn.softplus(inputs)  # BCE vs target 0
+    loss = jnp.einsum("qp,op->qo", pos, labels) + jnp.einsum(
+        "qp,op->qo", neg, 1.0 - labels
+    )
+    return loss / p
+
+
+def pairwise_dice(inputs: jax.Array, labels: jax.Array) -> jax.Array:
+    """reference utils.py:204-223"""
+    probs = jax.nn.sigmoid(inputs)
+    numerator = 2 * jnp.einsum("qp,op->qo", probs, labels)
+    denominator = probs.sum(-1)[:, None] + labels.sum(-1)[None, :]
+    return 1 - (numerator + 1) / (denominator + 1)
+
+
+def hungarian_match(
+    class_logits: jax.Array,
+    mask_logits: jax.Array,
+    gt_masks: jax.Array,
+    gt_classes: jax.Array,
+    gt_valid: jax.Array,
+    rng: jax.Array,
+    num_points: int = 12544,
+    cost_class: float = 1.0,
+    cost_mask: float = 5.0,
+    cost_dice: float = 5.0,
+) -> jax.Array:
+    """Single-item matching (vmap over batch outside).
+
+    class_logits [Q, C+1]; mask_logits [Q, V, h, w]; gt_masks [O, V, H, W];
+    gt_classes [O]; gt_valid [O]. Returns assignment [O] int32 (query id per
+    gt, -1 when invalid)."""
+    # matching is not differentiated (reference matcher is @torch.no_grad)
+    class_logits = jax.lax.stop_gradient(class_logits)
+    mask_logits = jax.lax.stop_gradient(mask_logits)
+    q = class_logits.shape[0]
+    o = gt_masks.shape[0]
+    coords = jax.random.uniform(rng, (num_points, 2))
+    pred_pts = sample_mask_points(mask_logits, coords).reshape(q, -1)
+    tgt_pts = sample_mask_points(gt_masks, coords).reshape(o, -1)
+
+    probs = jax.nn.softmax(class_logits, axis=-1)
+    cls_cost = -probs[:, jnp.clip(gt_classes, 0, probs.shape[1] - 1)]  # [Q, O]
+    cost = (
+        cost_mask * pairwise_sigmoid_ce(pred_pts, tgt_pts)
+        + cost_class * cls_cost
+        + cost_dice * pairwise_dice(pred_pts, tgt_pts)
+    )
+    # solve min-cost assignment of gts (rows) to queries (cols) on-device
+    from siu3r_tpu.ops.lap import auction_lap
+
+    return auction_lap(cost.T, row_valid=gt_valid)

@@ -6,9 +6,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# single-core hosts time-slice the 8 virtual device threads; XLA's default
+# 40s collective-rendezvous abort is far too tight there
+if "collective_call_terminate" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402  (import after env setup)
 

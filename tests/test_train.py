@@ -1,0 +1,133 @@
+"""Training-step tests: loss computation, gradients, optimizer groups, and
+data-parallel execution over the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from siu3r_tpu.config import (
+    CrocoCfg,
+    GaussianHeadCfg,
+    Mask2formerCfg,
+    ModelCfg,
+    OptimizerCfg,
+    PipelineCfg,
+    RootCfg,
+    TrainerCfg,
+)
+from siu3r_tpu.parallel import create_mesh, replicate, shard_batch
+from siu3r_tpu.pipeline import Pipeline, TrainState
+
+
+def tiny_root_cfg():
+    model = ModelCfg(
+        croco=CrocoCfg(
+            enc_depth=2, dec_depth=2, enc_embed_dim=64, dec_embed_dim=48,
+            enc_num_heads=4, dec_num_heads=4, freeze="encoder",
+        ),
+        mask2former=Mask2formerCfg(
+            id2label={i: str(i) for i in range(1, 6)},
+            label_ids_to_fuse=[0, 1],
+            num_queries=8,
+            hidden_dim=32,
+            num_attention_heads=4,
+            dim_feedforward=64,
+            decoder_layers=2,  # 1 decoder layer -> 2 aux sets
+            encoder_layers=1,
+            encoder_feedforward_dim=64,
+            feature_size=32,
+            mask_feature_size=32,
+            max_lift_queries=4,
+            train_num_points=64,
+            oversample_ratio=2.0,
+        ),
+        gaussian_head=GaussianHeadCfg(sh_degree=1),
+        image_size=(32, 32),
+    )
+    return RootCfg(
+        trainer=TrainerCfg(max_epochs=4, gradient_clip_val=0.5),
+        optimizer=OptimizerCfg(lr=1e-4, warm_up_epochs=1),
+        pipeline=PipelineCfg(model=model),
+    )
+
+
+def fake_batch(b=2, v=2, n_tgt=3, o=4, h=32, w=32, seed=0):
+    rng = np.random.RandomState(seed)
+    intr = np.array([[1.2, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], np.float32)
+    ext = np.eye(4, dtype=np.float32)
+    exts = np.stack([ext] * n_tgt)
+    for i in range(n_tgt):
+        exts[i, 0, 3] = 0.05 * i
+    masks = (rng.rand(b, o, v, h, w) > 0.7).astype(np.float32)
+    return {
+        "context_views_images": jnp.asarray(rng.rand(b, v, h, w, 3), jnp.float32),
+        "context_views_intrinsics": jnp.asarray(
+            np.broadcast_to(intr, (b, v, 3, 3)).copy()
+        ),
+        "target_views_images": jnp.asarray(rng.rand(b, n_tgt, h, w, 3), jnp.float32),
+        "target_views_intrinsics": jnp.asarray(
+            np.broadcast_to(intr, (b, n_tgt, 3, 3)).copy()
+        ),
+        "target_views_extrinsics": jnp.asarray(
+            np.broadcast_to(exts, (b, n_tgt, 4, 4)).copy()
+        ),
+        "gt_masks": jnp.asarray(masks),
+        "gt_classes": jnp.asarray(rng.randint(0, 5, (b, o)), jnp.int32),
+        "gt_valid": jnp.asarray(
+            np.arange(o)[None] < rng.randint(1, o + 1, (b, 1)), bool
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def pipeline_and_state():
+    cfg = tiny_root_cfg()
+    pipe = Pipeline(cfg, steps_per_epoch=10)
+    batch = fake_batch()
+    state = pipe.init_state(jax.random.PRNGKey(0), batch)
+    return pipe, state, batch
+
+
+def test_train_step_runs_and_updates(pipeline_and_state):
+    pipe, state, batch = pipeline_and_state
+    new_state, losses = pipe.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total"]))
+    for k in ("seg", "depth_smoothness", "render_mse", "lpips"):
+        assert np.isfinite(float(losses[k])), k
+    # trainable params move, frozen encoder params don't
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    enc = moved["backbone"]["enc_blocks"]
+    assert max(jax.tree.leaves(enc)) == 0.0, "frozen encoder moved"
+    assert max(jax.tree.leaves(moved["mask2former"])) > 0.0
+    assert max(jax.tree.leaves(moved["gaussian_param_head1"])) > 0.0
+
+
+def test_train_step_data_parallel(pipeline_and_state):
+    pipe, state, _ = pipeline_and_state
+    mesh = create_mesh(8)
+    batch = fake_batch(b=8, seed=1)
+    sharded = shard_batch(batch, mesh)
+    state_r = replicate(state, mesh)
+    step = pipe.make_dp_train_step(mesh)
+    new_state, losses = step(state_r, sharded, jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses["total"]))
+    # params moved and remain replicated (grads pmean'd before the update)
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    assert max(jax.tree.leaves(moved["mask2former"])) > 0.0
+
+
+def test_eval_step(pipeline_and_state):
+    pipe, state, batch = pipeline_and_state
+    out, render, qc = pipe.eval_step(state, batch)
+    b, n = batch["target_views_images"].shape[:2]
+    h, w = 32, 32
+    assert render.color.shape == (b, n, h, w, 3)
+    s = pipe.cfg.pipeline.model.mask2former.max_lift_queries
+    c = pipe.cfg.pipeline.model.mask2former.num_labels + 1
+    assert qc.shape == (b, n, s, c, h, w)
+    assert np.isfinite(np.asarray(qc)).all()
