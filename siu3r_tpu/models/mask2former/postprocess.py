@@ -135,11 +135,12 @@ def panoptic_segmentation(
             jnp.arange(q),
         )
 
-        # per-pixel maps; all-background images use -1 like the reference's
-        # empty fallback (:1360-1362)
+        # per-pixel maps; -1 fill ONLY when no query passes the keep
+        # threshold (reference :1351-1375 empty fallback); kept-but-no-
+        # segment images stay 0-filled (:1379-1383)
         pix_exists = exists[pixel_query_i]  # [V, H, W]
         segmentation = jnp.where(pix_exists, seg_ids[pixel_query_i], 0)
-        segmentation = jnp.where(exists.any(), segmentation, -1)
+        segmentation = jnp.where(keep_i.any(), segmentation, -1)
         semantic = jnp.where(pix_exists, labels_i[pixel_query_i] + 1, 0)
 
         # packed lift slots in kept order (reference keep_querys :1457)
