@@ -38,6 +38,7 @@ def build_dataset(cfg, train: bool):
         train=train,
         seg_task=dcfg.seg_task,
         image_size=dcfg.image_width,
+        max_objects=dcfg.max_objects,
     )
 
 
@@ -84,13 +85,24 @@ def main(argv=None):
         else jax.jit(pipe.train_step)
     )
 
+    def numeric(batch):
+        import numpy as np
+
+        return {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray) and v.dtype != object
+        }
+
     rng = jax.random.PRNGKey(cfg.seed + 1)
     global_step = 0
     for epoch in range(cfg.trainer.max_epochs):
         t_epoch = time.time()
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
-            state, losses = step_fn(state, shard_batch(batch, mesh), step_rng)
+            state, losses = step_fn(
+                state, shard_batch(numeric(batch), mesh), step_rng
+            )
             if global_step % cfg.trainer.log_every_n_steps == 0:
                 vals = {k: float(v) for k, v in losses.items() if "_" not in k or k in ("render_mse", "depth_smoothness", "seg", "lpips", "total")}
                 log.info(f"epoch {epoch} step {global_step}: " + json.dumps(vals))

@@ -72,7 +72,12 @@ def main(argv=None):
         if args.limit > 0 and n_done >= args.limit:
             break
         t0 = time.time()
-        out, render, qc = eval_step(state, batch)
+        numeric = {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray) and v.dtype != object
+        }
+        out, render, qc = eval_step(state, numeric)
         sem_ids, ins_ids = lift_rendered_qc(
             qc,
             out.post["query_scores"],

@@ -170,6 +170,9 @@ class DatasetCfg:
     num_extra_target_views: int = 0
     min_views_overlap: float = 0.3
     max_views_overlap: float = 0.8
+    # GT objects padded to this fixed count (jit-able batching); must be
+    # <= mask2former.num_queries for every object to be matchable
+    max_objects: int = 48
 
 
 @dataclass

@@ -59,9 +59,11 @@ class Pipeline:
         self._tx = None
 
     def init_state(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> TrainState:
-        images = batch["context_views_images"]
-        intr = batch["context_views_intrinsics"]
-        variables = self.model.init(rng, images, intr)
+        images = jnp.asarray(batch["context_views_images"])
+        intr = jnp.asarray(batch["context_views_intrinsics"])
+        # jit the init: unjitted init dispatches per-op (~270 s for the full
+        # model through the device tunnel)
+        variables = jax.jit(self.model.init)(rng, images, intr)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self._tx = make_optimizer(

@@ -120,6 +120,28 @@ class Visualizer:
                     (d / "context_seg_gt" / f"{vid}_gt.png",
                      pack_segment_rgb(context_sem_gt[i], context_ins_gt[i]), None)
                 )
+
+        # human-readable extras: seg overlays + colored depth (reference
+        # visualizer.py overlay/colored-depth outputs)
+        from siu3r_tpu.utils.visualize import colorize_depth, overlay_segmentation
+
+        if target_sem_pred is not None:
+            os.makedirs(d / "overlay", exist_ok=True)
+            for i, vid in enumerate(target_ids):
+                self._jobs.append(
+                    (d / "overlay" / f"{int(vid)}.png",
+                     overlay_segmentation(
+                         render_color[i], target_sem_pred[i],
+                         target_ins_pred[i], self.cfg.overlay_mask_alpha,
+                     ), None)
+                )
+        if render_depth is not None and self.cfg.log_colored_depth:
+            os.makedirs(d / "depth_colored", exist_ok=True)
+            for i, vid in enumerate(target_ids):
+                self._jobs.append(
+                    (d / "depth_colored" / f"{int(vid)}.png",
+                     colorize_depth(render_depth[i]), None)
+                )
         if seg_infos is not None:
             for sub in ("context_seg_pred", "target_seg_pred"):
                 with open(d / sub / "pred.json", "w") as f:

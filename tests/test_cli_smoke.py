@@ -1,0 +1,118 @@
+"""End-to-end CLI smoke tests on a synthetic on-disk scan (tiny model
+config): training loop incl. checkpointing, and the validation sweep incl.
+visualizer + evaluator. These are the integration seams the unit tests
+don't cover."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("scannet")
+    rng = np.random.RandomState(0)
+    n_frames, h, w = 12, 32, 32
+    for split in ("train", "val"):
+        scan = root / split / "scene0000_00"
+        for sub in ("color", "depth", "extrinsic", "panoptic"):
+            os.makedirs(scan / sub)
+        np.savetxt(scan / "intrinsic.txt", np.array([[40.0, 0, 16], [0, 40, 16], [0, 0, 1]]))
+        np.save(scan / "iou.npy", np.clip(rng.rand(100, 100) * 0.6 + 0.2, 0, 1))
+        for i in range(n_frames):
+            Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+                scan / "color" / f"{i}.jpg"
+            )
+            Image.fromarray((rng.rand(h, w) * 4000).astype(np.int32), mode="I").save(
+                scan / "depth" / f"{i}.png"
+            )
+            ext = np.eye(4)
+            ext[0, 3] = 0.05 * i
+            np.savetxt(scan / "extrinsic" / f"{i}.txt", ext)
+            seg = np.full((h, w), 1000, np.int64)
+            seg[:, w // 2:] = 5 * 1000 + 7
+            rgb = np.stack([seg % 256, (seg // 256) % 256, seg // 65536], -1).astype(np.uint8)
+            Image.fromarray(rgb).save(scan / "panoptic" / f"{i}.png")
+    with open(root / "val_pair.json", "w") as f:
+        json.dump(
+            [{"scan": "scene0000_00", "context_ids": [0, 5], "target_ids": [0, 2, 5]}],
+            f,
+        )
+    return str(root)
+
+
+TINY_OVERRIDES = [
+    "trainer.max_epochs=1",
+    "trainer.devices=1",
+    "trainer.check_val_every_n_epoch=1",
+    "trainer.log_every_n_steps=1",
+    "datamodule.dataset_cfg.image_height=32",
+    "datamodule.dataset_cfg.image_width=32",
+    "datamodule.dataset_cfg.num_extra_target_views=1",
+    "datamodule.dataset_cfg.max_objects=4",
+    "datamodule.train_loader_cfg.batch_size=1",
+    "datamodule.train_loader_cfg.num_workers=1",
+    "pipeline.model.image_size=[32,32]",
+    "pipeline.model.croco.enc_depth=2",
+    "pipeline.model.croco.dec_depth=2",
+    "pipeline.model.croco.enc_embed_dim=64",
+    "pipeline.model.croco.dec_embed_dim=48",
+    "pipeline.model.croco.enc_num_heads=4",
+    "pipeline.model.croco.dec_num_heads=4",
+    "pipeline.model.mask2former.num_queries=8",
+    "pipeline.model.mask2former.hidden_dim=32",
+    "pipeline.model.mask2former.num_attention_heads=4",
+    "pipeline.model.mask2former.dim_feedforward=64",
+    "pipeline.model.mask2former.decoder_layers=2",
+    "pipeline.model.mask2former.encoder_layers=1",
+    "pipeline.model.mask2former.encoder_feedforward_dim=64",
+    "pipeline.model.mask2former.feature_size=32",
+    "pipeline.model.mask2former.mask_feature_size=32",
+    "pipeline.model.mask2former.max_lift_queries=4",
+    "pipeline.model.mask2former.train_num_points=32",
+    "pipeline.model.mask2former.oversample_ratio=2.0",
+    "pipeline.model.gaussian_head.sh_degree=1",
+]
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(fake_root, tmp_path, monkeypatch):
+    from siu3r_tpu.cli.train import main
+
+    out = tmp_path / "train_out"
+    main(
+        [
+            "--config", os.devnull,
+            f"datamodule.dataset_cfg.root={fake_root}",
+            f"output_path={out}",
+            *TINY_OVERRIDES,
+        ]
+    )
+    ckpts = list((out / "checkpoints").iterdir())
+    assert ckpts, "no checkpoint written"
+
+
+@pytest.mark.slow
+def test_validate_cli_smoke(fake_root, tmp_path):
+    from siu3r_tpu.cli.validate import main
+
+    out = tmp_path / "val_out"
+    main(
+        [
+            "--config", os.devnull,
+            "--output_path", str(out),
+            "--limit", "1",
+            f"datamodule.dataset_cfg.root={fake_root}",
+            "datamodule.dataset_cfg.num_extra_target_views=1",
+            *TINY_OVERRIDES,
+        ]
+    )
+    assert (out / "results.json").exists()
+    result = json.loads((out / "results.json").read_text())
+    assert "psnr" in result and np.isfinite(result["psnr"])
+    assert "context_miou" in result
