@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from siu3r_tpu.ops.attention import multi_head_attention
+from siu3r_tpu.ops.attention import multi_head_attention, rope_attention
 from siu3r_tpu.ops.rope import rope2d
 
 LayerNorm = lambda name=None: nn.LayerNorm(epsilon=1e-6, name=name)
@@ -52,9 +52,9 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, h, c // h).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [b, h, n, d]
         if self.rope_base is not None:
-            q = rope2d(q, xpos, base=self.rope_base)
-            k = rope2d(k, xpos, base=self.rope_base)
-        out = multi_head_attention(q, k, v)
+            out = rope_attention(q, k, v, xpos, xpos, rope_base=self.rope_base)
+        else:
+            out = multi_head_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -80,9 +80,11 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, nk, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, nk, h, d).transpose(0, 2, 1, 3)
         if self.rope_base is not None:
-            q = rope2d(q, qpos, base=self.rope_base)
-            k = rope2d(k, kpos, base=self.rope_base)
-        out = multi_head_attention(q, k, v, mask=mask)
+            out = rope_attention(
+                q, k, v, qpos, kpos, rope_base=self.rope_base, mask=mask
+            )
+        else:
+            out = multi_head_attention(q, k, v, mask=mask)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 

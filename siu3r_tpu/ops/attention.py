@@ -60,6 +60,30 @@ def multi_head_attention(
     return xla_attention(q, k, v, scale=scale, kv_mask=kv_mask, mask=mask)
 
 
+def rope_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    qpos: jax.Array,
+    kpos: jax.Array,
+    rope_base: float = 100.0,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """RoPE2D + attention; on TPU the rotation fuses into the attention
+    kernel (one kernel replaces the reference's cuRoPE2D + naive attention
+    pipeline). Masked attention falls back to the XLA path."""
+    from siu3r_tpu.ops.rope import rope2d
+
+    scale = q.shape[-1] ** -0.5
+    if _use_pallas() and mask is None:
+        from siu3r_tpu.ops.flash_attention import flash_attention_rope
+
+        return flash_attention_rope(q, k, v, qpos, kpos, scale, rope_base)
+    q = rope2d(q, qpos, base=rope_base)
+    k = rope2d(k, kpos, base=rope_base)
+    return xla_attention(q, k, v, scale, mask=mask)
+
+
 def xla_attention(q, k, v, scale, kv_mask=None, mask=None):
     out_dtype = q.dtype
     logits = jnp.einsum(
