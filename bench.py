@@ -1,18 +1,45 @@
 """Driver benchmark: two-view recon+seg forward passes/sec on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mfu": F, ...}
 
 vs_baseline is measured against the BASELINE.json north-star target of
 10 passes/sec per chip (the reference repo publishes no numbers to compare
 against directly — BASELINE.md).
+
+Extra modes (numbers recorded in BASELINE.md):
+  --batch N     also time batched throughput at batch N
+  --multiview V also time the multi-view model at V views
+  --breakdown   per-stage device timing (backbone / +adapter / +m2f / full)
 """
 
+import argparse
 import json
+import sys
 import time
+
+V5E_BF16_PEAK = 197e12  # bf16 MXU peak FLOP/s, TPU v5e (1 chip)
+
+
+def _timed_scan(fn, args, K, reps=3):
+    """Device-side throughput: K passes per dispatch via lax.scan; host-sync
+    per dispatch (the axon tunnel adds ~30 ms per synced call, amortized)."""
+    float(fn(*args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(fn(*args))
+        ts.append(time.time() - t0)
+    return min(ts) / K
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--multiview", type=int, default=0)
+    ap.add_argument("--breakdown", action="store_true")
+    opts = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -25,55 +52,169 @@ def main():
 
     b, v, h, w = 1, 2, 256, 256
     images = jax.random.uniform(jax.random.PRNGKey(0), (b, v, h, w, 3))
-    intr = jnp.array(
+    intr1 = jnp.array(
         [[[318 / 256, 0, 0.5], [0, 318 / 256, 0.5], [0, 0, 1]]] * v
     )[None]
-    variables = jax.jit(model.init)(jax.random.PRNGKey(1), images, intr)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), images, intr1)
 
-    # throughput measurement: K passes per dispatch via lax.scan so the
-    # per-execution host<->device round-trip (~30 ms through the axon
-    # tunnel) amortizes away; reduces each pass to a scalar to keep every
-    # stage live. This measures device-side throughput, which is what a
-    # batched serving deployment sees.
     K = 10
 
-    @jax.jit
-    def fwd_scan(vs, ims, k):
-        def step(carry, im):
-            out = model.apply(vs, im, k, enable_query_class_logit_lift=True)
-            s = (
-                out.gaussians.means.sum()
-                + out.gaussians.seg_query_class_logits.sum()
-                + out.seg.class_queries_logits.sum()
-            )
-            return carry + s, None
+    def make_fwd_scan():
+        @jax.jit
+        def fwd_scan(vs, ims, k):
+            def step(carry, im):
+                out = model.apply(vs, im, k, enable_query_class_logit_lift=True)
+                s = (
+                    out.gaussians.means.sum()
+                    + out.gaussians.seg_query_class_logits.sum()
+                    + out.seg.class_queries_logits.sum()
+                )
+                return carry + s, None
 
-        total, _ = jax.lax.scan(step, 0.0, ims)
-        return total
+            total, _ = jax.lax.scan(step, 0.0, ims)
+            return total
 
-    batch_imgs = jax.random.uniform(
-        jax.random.PRNGKey(5), (K, b, v, h, w, 3)
-    )
+        return fwd_scan
+
+    fwd_scan = make_fwd_scan()
+    batch_imgs = jax.random.uniform(jax.random.PRNGKey(5), (K, b, v, h, w, 3))
     jax.block_until_ready(batch_imgs)
-    float(fwd_scan(variables, batch_imgs, intr))  # compile + warm
-
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        float(fwd_scan(variables, batch_imgs, intr))
-    dt = (time.time() - t0) / (reps * K)
+    dt = _timed_scan(fwd_scan, (variables, batch_imgs, intr1), K)
     passes_per_sec = 1.0 / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "two_view_recon_seg_passes_per_sec",
-                "value": round(passes_per_sec, 3),
-                "unit": "passes/sec",
-                "vs_baseline": round(passes_per_sec / 10.0, 3),
-            }
+    # FLOP-based MFU from the compiled single-pass cost analysis
+    mfu = None
+    flops = None
+    try:
+        single = jax.jit(
+            lambda vs, im, k: model.apply(
+                vs, im, k, enable_query_class_logit_lift=True
+            ).gaussians.means.sum()
         )
-    )
+        ca = single.lower(variables, batch_imgs[0], intr1).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops * passes_per_sec / V5E_BF16_PEAK
+    except Exception as e:  # noqa: BLE001 - cost analysis is best-effort
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "two_view_recon_seg_passes_per_sec",
+        "value": round(passes_per_sec, 3),
+        "unit": "passes/sec",
+        "vs_baseline": round(passes_per_sec / 10.0, 3),
+    }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+        result["gflops_per_pass"] = round(flops / 1e9, 1)
+
+    if opts.batch:
+        bb = opts.batch
+        intr_b = jnp.broadcast_to(intr1, (bb, v, 3, 3))
+        imgs_b = jax.random.uniform(jax.random.PRNGKey(6), (K, bb, v, h, w, 3))
+        jax.block_until_ready(imgs_b)
+        dt_b = _timed_scan(fwd_scan, (variables, imgs_b, intr_b), K)
+        print(
+            f"[bench] batch={bb}: {dt_b / bb * 1000:.2f} ms/item "
+            f"({bb / dt_b:.1f} items/sec)",
+            file=sys.stderr,
+        )
+        result[f"batch{bb}_items_per_sec"] = round(bb / dt_b, 3)
+
+    if opts.multiview:
+        import dataclasses
+
+        vv = opts.multiview
+        cfg_mv = dataclasses.replace(cfg, num_views=vv)
+        model_mv = SIU3RModel(cfg_mv)
+        imgs_mv = jax.random.uniform(jax.random.PRNGKey(7), (1, vv, h, w, 3))
+        intr_mv = jnp.broadcast_to(intr1[:, :1], (1, vv, 3, 3))
+        vars_mv = jax.jit(model_mv.init)(jax.random.PRNGKey(8), imgs_mv, intr_mv)
+
+        @jax.jit
+        def mv_scan(vs, ims, k):
+            def step(carry, im):
+                out = model_mv.apply(vs, im, k, enable_query_class_logit_lift=True)
+                return carry + out.gaussians.means.sum(), None
+
+            return jax.lax.scan(step, 0.0, ims)[0]
+
+        imgs_mv_k = jax.random.uniform(jax.random.PRNGKey(9), (K, 1, vv, h, w, 3))
+        jax.block_until_ready(imgs_mv_k)
+        dt_mv = _timed_scan(mv_scan, (vars_mv, imgs_mv_k, intr_mv), K)
+        print(
+            f"[bench] multiview V={vv}: {dt_mv * 1000:.2f} ms/pass "
+            f"({1 / dt_mv:.2f} passes/sec)",
+            file=sys.stderr,
+        )
+        result[f"multiview_v{vv}_passes_per_sec"] = round(1 / dt_mv, 3)
+
+    if opts.breakdown:
+        def bb_only(m, im, k):
+            out = m.backbone(im, k)
+            return out.dec1[-1].sum()
+
+        def bb_adapter(m, im, k):
+            bsz = im.shape[0]
+            out = m.backbone(im, k)
+            stacked = [
+                jnp.concatenate([f1, f2], axis=0)
+                for f1, f2 in zip(out.all_feat1, out.all_feat2)
+            ]
+            flat = jnp.concatenate([im[:, 0], im[:, 1]], axis=0)
+            feats = m.adapter(flat, stacked)
+            return sum(f.sum() for f in feats) + out.dec1[-1].sum()
+
+        def bb_adapter_m2f(m, im, k):
+            bsz = im.shape[0]
+            out = m.backbone(im, k)
+            stacked = [
+                jnp.concatenate([f1, f2], axis=0)
+                for f1, f2 in zip(out.all_feat1, out.all_feat2)
+            ]
+            flat = jnp.concatenate([im[:, 0], im[:, 1]], axis=0)
+            feats = m.adapter(flat, stacked)
+            ms = [
+                jnp.stack([f[:bsz], f[bsz:]], axis=1).astype(jnp.float32)
+                for f in feats
+            ]
+            seg = m.mask2former(ms)
+            return (
+                seg.class_queries_logits.sum()
+                + seg.masks_queries_logits.sum()
+                + out.dec1[-1].sum()
+            )
+
+        stages = [
+            ("backbone", bb_only),
+            ("+adapter", bb_adapter),
+            ("+mask2former", bb_adapter_m2f),
+        ]
+        prev = 0.0
+        for name, meth in stages:
+            @jax.jit
+            def scan_fn(vs, ims, k, meth=meth):
+                def step(c, im):
+                    return c + model.apply(vs, im, k, method=meth), None
+
+                return jax.lax.scan(step, 0.0, ims)[0]
+
+            dt_s = _timed_scan(scan_fn, (variables, batch_imgs, intr1), K)
+            print(
+                f"[bench] {name:14s}: {dt_s * 1000:7.2f} ms "
+                f"(+{(dt_s - prev) * 1000:6.2f})",
+                file=sys.stderr,
+            )
+            prev = dt_s
+        print(
+            f"[bench] {'full+post+lift':14s}: {dt * 1000:7.2f} ms "
+            f"(+{(dt - prev) * 1000:6.2f})",
+            file=sys.stderr,
+        )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -77,6 +77,10 @@ class Visualizer:
         target_sem_gt: Optional[np.ndarray] = None,
         target_ins_gt: Optional[np.ndarray] = None,
         seg_infos: Optional[List[dict]] = None,
+        context_images: Optional[np.ndarray] = None,  # [V, H, W, 3]
+        gt_masks: Optional[np.ndarray] = None,  # [O, V, H, W]
+        gt_classes: Optional[np.ndarray] = None,  # [O]
+        gt_valid: Optional[np.ndarray] = None,  # [O]
         gaussians=None,
     ) -> None:
         d = self.scene_dir(save_dir, scene, context_ids)
@@ -136,12 +140,59 @@ class Visualizer:
                      ), None)
                 )
         if render_depth is not None and self.cfg.log_colored_depth:
+            from siu3r_tpu.utils.visualize import colorize_depth_jet
+
             os.makedirs(d / "depth_colored", exist_ok=True)
+            os.makedirs(d / "depth_color", exist_ok=True)
             for i, vid in enumerate(target_ids):
                 self._jobs.append(
                     (d / "depth_colored" / f"{int(vid)}.png",
                      colorize_depth(render_depth[i]), None)
                 )
+                # reference jet grids: log-quantile rendered / min-max GT
+                # (visualizer.py:293-330, 346-380)
+                self._jobs.append(
+                    (d / "depth_color" / f"{int(vid)}.png",
+                     colorize_depth_jet(render_depth[i], log_scale=True), None)
+                )
+            if target_depths is not None:
+                os.makedirs(d / "depth_gt_color", exist_ok=True)
+                for i, vid in enumerate(target_ids):
+                    self._jobs.append(
+                        (d / "depth_gt_color" / f"{int(vid)}.png",
+                         colorize_depth_jet(target_depths[i], log_scale=False),
+                         None)
+                    )
+
+        # labeled overlays with contours/boxes/class text over the context
+        # views (reference draw_overlay_segm_masks, visualizer.py:556-712)
+        if (
+            context_images is not None
+            and context_ins_pred is not None
+            and seg_infos is not None
+        ):
+            from siu3r_tpu.utils.visualize import (
+                labeled_gt_overlay,
+                labeled_instance_overlay,
+            )
+
+            panels = [
+                labeled_instance_overlay(
+                    context_images, context_ins_pred, seg_infos,
+                    alpha=self.cfg.overlay_mask_alpha,
+                )
+            ]
+            if gt_masks is not None and gt_classes is not None:
+                panels.append(
+                    labeled_gt_overlay(
+                        context_images, gt_masks, gt_classes, gt_valid,
+                        alpha=self.cfg.overlay_mask_alpha,
+                    )
+                )
+            self._jobs.append(
+                (d / "seg_overlay_labeled.png",
+                 np.concatenate(panels, axis=0), None)
+            )
         if seg_infos is not None:
             for sub in ("context_seg_pred", "target_seg_pred"):
                 with open(d / sub / "pred.json", "w") as f:
