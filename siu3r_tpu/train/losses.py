@@ -26,11 +26,17 @@ from siu3r_tpu.ops.deformable import grid_sample_bilinear
 from siu3r_tpu.train.matcher import hungarian_match, sample_mask_points
 
 
-def _sample_points_one_mask(logits_hw, rng, num_points, oversample, importance):
+def _sample_points_one_mask(logits_hw, rng, num_points, oversample, importance,
+                            pre_coords=None, extra_coords=None):
     """Uncertainty-based point sampling for ONE mask [H, W]
-    (reference :444-506). Returns [num_points, 2] (x, y) in [0, 1]."""
+    (reference :444-506). Returns [num_points, 2] (x, y) in [0, 1].
+    ``pre_coords`` [n_sampled, 2] / ``extra_coords`` [n_random, 2] override
+    the two random draws (parity tests inject the reference's points)."""
     n_sampled = int(num_points * oversample)
-    coords = jax.random.uniform(rng, (n_sampled, 2))
+    coords = (
+        pre_coords if pre_coords is not None
+        else jax.random.uniform(rng, (n_sampled, 2))
+    )
     vals = grid_sample_bilinear(
         logits_hw[None, :, :, None], (2.0 * coords - 1.0)[None]
     )[0, :, 0]
@@ -39,8 +45,11 @@ def _sample_points_one_mask(logits_hw, rng, num_points, oversample, importance):
     n_random = num_points - n_uncertain
     _, idx = jax.lax.top_k(uncertainty, n_uncertain)
     picked = coords[idx]
-    rng2 = jax.random.fold_in(rng, 1)
-    extra = jax.random.uniform(rng2, (n_random, 2))
+    if extra_coords is not None:
+        extra = extra_coords
+    else:
+        rng2 = jax.random.fold_in(rng, 1)
+        extra = jax.random.uniform(rng2, (n_random, 2))
     return jnp.concatenate([picked, extra], axis=0)
 
 
@@ -52,6 +61,8 @@ def _mask_losses_item(
     num_points: int,
     oversample: float,
     importance: float,
+    pre_coords=None,  # [O*V, n_sampled, 2] injected (parity tests)
+    extra_coords=None,  # [O*V, n_random, 2]
 ):
     """Returns (ce_sum, dice_sum) over this item's matched (gt, view) rows
     — reference loss_masks (:343-409) treats each matched (mask, frame) as a
@@ -66,9 +77,10 @@ def _mask_losses_item(
     rows_valid = jnp.repeat(valid, v)
     rngs = jax.random.split(rng, o * v)
 
-    def per_row(logits_hw, tgt_hw, key):
+    def per_row(logits_hw, tgt_hw, key, pre=None, extra=None):
         coords = _sample_points_one_mask(
-            logits_hw, key, num_points, oversample, importance
+            logits_hw, key, num_points, oversample, importance,
+            pre_coords=pre, extra_coords=extra,
         )
         grid = (2.0 * coords - 1.0)[None]
         pl_ = grid_sample_bilinear(logits_hw[None, :, :, None], grid)[0, :, 0]
@@ -83,7 +95,12 @@ def _mask_losses_item(
         )
         return ce, dice
 
-    ce, dice = jax.vmap(per_row)(rows_pred, rows_tgt, rngs)
+    if pre_coords is not None:
+        ce, dice = jax.vmap(per_row)(
+            rows_pred, rows_tgt, rngs, pre_coords, extra_coords
+        )
+    else:
+        ce, dice = jax.vmap(per_row)(rows_pred, rows_tgt, rngs)
     ce = jnp.where(rows_valid, ce, 0.0).sum()
     dice = jnp.where(rows_valid, dice, 0.0).sum()
     return ce, dice
@@ -128,36 +145,61 @@ def segmentation_loss(
     oversample: float = 3.0,
     importance: float = 0.75,
     match_points: int = 12544,
+    injected_coords: Optional[List[Dict[str, jax.Array]]] = None,
 ) -> Dict[str, jax.Array]:
     """Total criterion over the final + auxiliary decoder outputs
     (reference VideoMask2FormerLoss.forward :508-571 + weight application
-    :2327-2331)."""
+    :2327-2331).
+
+    ``injected_coords``: per-layer dicts with ``match`` [B, P, 2],
+    ``pre`` [B, O*V, n_sampled, 2], ``extra`` [B, O*V, n_random, 2] —
+    overrides every random draw so the criterion can be compared
+    term-by-term against the reference with identical sample points
+    (tests/test_criterion_parity.py)."""
     b = gt_masks.shape[0]
     num_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
     losses: Dict[str, jax.Array] = {}
     total = 0.0
     for li, (cls_l, msk_l) in enumerate(zip(aux_class_logits, aux_mask_logits)):
+        inj = injected_coords[li] if injected_coords is not None else None
         rng_layer = jax.random.fold_in(rng, li)
         match_rngs = jax.random.split(jax.random.fold_in(rng_layer, 0), b)
-        assignment = jax.vmap(
-            functools.partial(
-                hungarian_match,
-                num_points=match_points,
-                cost_class=1.0,
-                cost_mask=mask_weight,
-                cost_dice=dice_weight,
+        match_fn = functools.partial(
+            hungarian_match,
+            num_points=match_points,
+            cost_class=1.0,
+            cost_mask=mask_weight,
+            cost_dice=dice_weight,
+        )
+        if inj is not None:
+            assignment = jax.vmap(
+                lambda c, m, gm, gc, gv, r, mc: match_fn(
+                    c, m, gm, gc, gv, r, coords=mc
+                )
+            )(cls_l, msk_l, gt_masks, gt_classes, gt_valid, match_rngs,
+              inj["match"])
+        else:
+            assignment = jax.vmap(match_fn)(
+                cls_l, msk_l, gt_masks, gt_classes, gt_valid, match_rngs
             )
-        )(cls_l, msk_l, gt_masks, gt_classes, gt_valid, match_rngs)
 
         mask_rngs = jax.random.split(jax.random.fold_in(rng_layer, 1), b)
-        ce_sum, dice_sum = jax.vmap(
-            functools.partial(
-                _mask_losses_item,
-                num_points=num_points,
-                oversample=oversample,
-                importance=importance,
+        loss_fn = functools.partial(
+            _mask_losses_item,
+            num_points=num_points,
+            oversample=oversample,
+            importance=importance,
+        )
+        if inj is not None:
+            ce_sum, dice_sum = jax.vmap(
+                lambda m, gm, a, r, pre, extra: loss_fn(
+                    m, gm, a, r, pre_coords=pre, extra_coords=extra
+                )
+            )(msk_l, gt_masks, assignment, mask_rngs, inj["pre"], inj["extra"])
+        else:
+            ce_sum, dice_sum = jax.vmap(loss_fn)(
+                msk_l, gt_masks, assignment, mask_rngs
             )
-        )(msk_l, gt_masks, assignment, mask_rngs)
         loss_mask = ce_sum.sum() / num_masks
         loss_dice = dice_sum.sum() / num_masks
         loss_ce = _label_loss(cls_l, gt_classes, assignment, num_labels, no_object_weight)

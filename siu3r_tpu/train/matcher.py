@@ -65,18 +65,21 @@ def hungarian_match(
     cost_class: float = 1.0,
     cost_mask: float = 5.0,
     cost_dice: float = 5.0,
+    coords: jax.Array = None,
 ) -> jax.Array:
     """Single-item matching (vmap over batch outside).
 
     class_logits [Q, C+1]; mask_logits [Q, V, h, w]; gt_masks [O, V, H, W];
     gt_classes [O]; gt_valid [O]. Returns assignment [O] int32 (query id per
-    gt, -1 when invalid)."""
+    gt, -1 when invalid). ``coords`` [P, 2] overrides the random sample
+    points (parity tests inject the reference's coordinates)."""
     # matching is not differentiated (reference matcher is @torch.no_grad)
     class_logits = jax.lax.stop_gradient(class_logits)
     mask_logits = jax.lax.stop_gradient(mask_logits)
     q = class_logits.shape[0]
     o = gt_masks.shape[0]
-    coords = jax.random.uniform(rng, (num_points, 2))
+    if coords is None:
+        coords = jax.random.uniform(rng, (num_points, 2))
     pred_pts = sample_mask_points(mask_logits, coords).reshape(q, -1)
     tgt_pts = sample_mask_points(gt_masks, coords).reshape(o, -1)
 
