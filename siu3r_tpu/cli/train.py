@@ -56,12 +56,14 @@ def main(argv=None):
     from siu3r_tpu.parallel import create_mesh, replicate, shard_batch
     from siu3r_tpu.pipeline import Pipeline
     from siu3r_tpu.checkpoint_io import save_checkpoint
-    from siu3r_tpu.utils.logging import RankedLogger
+    from siu3r_tpu.train.optimizer import make_lr_schedule
+    from siu3r_tpu.utils.logging import MetricsHistory, RankedLogger
 
     log = RankedLogger(__name__)
     cfg = bind_scannet_classes(load_config(args.config, args.overrides))
     out_dir = Path(cfg.output_path or f"outputs/{cfg.mode}/{cfg.experiment}")
     out_dir.mkdir(parents=True, exist_ok=True)
+    history = MetricsHistory(out_dir)
 
     dataset = build_dataset(cfg, train=cfg.mode == "train")
     loader = Loader(
@@ -94,6 +96,12 @@ def main(argv=None):
             if isinstance(v, np.ndarray) and v.dtype != object
         }
 
+    # LearningRateMonitor equivalent: evaluate the base-group schedule
+    lr_of = make_lr_schedule(
+        cfg.optimizer.lr, cfg.optimizer.warm_up_epochs,
+        cfg.trainer.max_epochs, steps_per_epoch,
+    )
+
     rng = jax.random.PRNGKey(cfg.seed + 1)
     global_step = 0
     for epoch in range(cfg.trainer.max_epochs):
@@ -106,8 +114,15 @@ def main(argv=None):
             if global_step % cfg.trainer.log_every_n_steps == 0:
                 vals = {k: float(v) for k, v in losses.items() if "_" not in k or k in ("render_mse", "depth_smoothness", "seg", "lpips", "total")}
                 log.info(f"epoch {epoch} step {global_step}: " + json.dumps(vals))
+                history.log(
+                    global_step, epoch=epoch, lr=float(lr_of(global_step)),
+                    **{f"train/{k}": v for k, v in vals.items()},
+                )
             global_step += 1
         log.info(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
+        history.log(
+            global_step, epoch=epoch, epoch_seconds=time.time() - t_epoch
+        )
         if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0 or epoch == cfg.trainer.max_epochs - 1:
             ckpt_dir = out_dir / "checkpoints" / f"epoch{epoch:03d}-{global_step}"
             save_checkpoint(

@@ -208,6 +208,12 @@ class Evaluator:
             result["psnr"] = float(np.mean(self.target_psnr))
             result["ssim"] = float(np.mean(self.target_ssim))
             result["lpips"] = float(np.mean(self.target_lpips))
+            # surface the random-VGG fallback (zero-egress environments):
+            # lpips values are not reference-comparable unless pretrained
+            if self._lpips_params is not None:
+                result["lpips_pretrained"] = bool(
+                    self._lpips_params.get("pretrained", False)
+                )
         if self.target_absrels:
             result["absrel"] = float(np.mean(self.target_absrels))
             result["rmse"] = float(np.mean(self.target_rmses))

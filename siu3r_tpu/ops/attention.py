@@ -54,10 +54,69 @@ def multi_head_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if _use_pallas() and mask is None:
-        from siu3r_tpu.ops.flash_attention import flash_attention
-
-        return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
+        return _flash_diff(q, k, v, kv_mask, scale)
     return xla_attention(q, k, v, scale=scale, kv_mask=kv_mask, mask=mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_diff(q, k, v, kv_mask, scale):
+    """Pallas flash-attention forward with the XLA twin as backward — the
+    kernel itself is forward-only (round-2 fix: training on real TPU hit
+    'Linearization failed' through pallas_call; CPU tests never saw it
+    because they take the XLA path)."""
+    from siu3r_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
+
+
+def _flash_diff_fwd(q, k, v, kv_mask, scale):
+    return _flash_diff(q, k, v, kv_mask, scale), (q, k, v, kv_mask)
+
+
+def _flash_diff_bwd(scale, res, g):
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(q_, k_, v_, scale, kv_mask=kv_mask),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_rope_diff(q, k, v, qpos, kpos, scale, rope_base):
+    """Fused RoPE flash attention forward; backward via the XLA twin
+    (rope2d + naive attention — the reference's exact backward math)."""
+    from siu3r_tpu.ops.flash_attention import flash_attention_rope
+
+    return flash_attention_rope(q, k, v, qpos, kpos, scale, rope_base)
+
+
+def _flash_rope_diff_fwd(q, k, v, qpos, kpos, scale, rope_base):
+    return _flash_rope_diff(q, k, v, qpos, kpos, scale, rope_base), (
+        q, k, v, qpos, kpos,
+    )
+
+
+def _flash_rope_diff_bwd(scale, rope_base, res, g):
+    from siu3r_tpu.ops.rope import rope2d
+
+    q, k, v, qpos, kpos = res
+
+    def ref(q_, k_, v_):
+        qr = rope2d(q_, qpos, base=rope_base)
+        kr = rope2d(k_, kpos, base=rope_base)
+        return xla_attention(qr, kr, v_, scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_rope_diff.defvjp(_flash_rope_diff_fwd, _flash_rope_diff_bwd)
 
 
 def rope_attention(
@@ -76,9 +135,7 @@ def rope_attention(
 
     scale = q.shape[-1] ** -0.5
     if _use_pallas() and mask is None:
-        from siu3r_tpu.ops.flash_attention import flash_attention_rope
-
-        return flash_attention_rope(q, k, v, qpos, kpos, scale, rope_base)
+        return _flash_rope_diff(q, k, v, qpos, kpos, scale, rope_base)
     q = rope2d(q, qpos, base=rope_base)
     k = rope2d(k, kpos, base=rope_base)
     return xla_attention(q, k, v, scale, mask=mask)

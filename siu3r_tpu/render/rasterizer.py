@@ -242,8 +242,12 @@ def _tiles_jnp(counts, row0, col0, params, colors):
         prm_chunks = prm_all.reshape(n_chunks, _CHUNK, 8)
         col_chunks = col_all.reshape(n_chunks, _CHUNK, n_channels)
         bases = jnp.arange(n_chunks) * _CHUNK
+        # checkpoint the chunk body: differentiating the plain scan stores
+        # every per-chunk [CHUNK, npix] intermediate for all chunks (~80 GB
+        # at the training shapes, round-2 OOM); remat keeps only the carries
+        # and recomputes the chunk math in the backward pass
         (trans, color_acc, depth_acc), _ = jax.lax.scan(
-            chunk_step, init, (prm_chunks, col_chunks, bases)
+            jax.checkpoint(chunk_step), init, (prm_chunks, col_chunks, bases)
         )
         color = color_acc.reshape(n_channels, TILE_H, TILE_W)
         aux = jnp.concatenate(

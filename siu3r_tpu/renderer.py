@@ -42,6 +42,51 @@ class RenderOutput:
     qc_logits: Optional[jax.Array] = None  # [B, V, Q_lift, C+1, H, W]
 
 
+def apply_pose_delta(
+    viewmats: jax.Array,
+    cam_rot_delta: Optional[jax.Array],
+    cam_trans_delta: Optional[jax.Array],
+) -> jax.Array:
+    """Differentiable camera-pose perturbation — the TPU equivalent of the
+    CUDA rasterizer's ``theta``/``rho`` inputs
+    (reference cuda_splatting.py:109-118; diff-gaussian-rasterization-w-pose
+    applies an SE(3) retraction to the view matrix inside the kernel so pose
+    gradients flow). Functional JAX needs no in-kernel support: the retracted
+    view matrix W2C' = [R exp([theta]x) | t + rho] feeds the jnp projection,
+    and gradients w.r.t. theta/rho come from autodiff.
+
+    viewmats [..., 4, 4] world-to-camera; deltas [..., 3]."""
+    if cam_rot_delta is None and cam_trans_delta is None:
+        return viewmats
+    r = viewmats[..., :3, :3]
+    t = viewmats[..., :3, 3]
+    if cam_rot_delta is not None:
+        th = cam_rot_delta
+        zeros = jnp.zeros_like(th[..., 0])
+        k = jnp.stack(
+            [
+                jnp.stack([zeros, -th[..., 2], th[..., 1]], axis=-1),
+                jnp.stack([th[..., 2], zeros, -th[..., 0]], axis=-1),
+                jnp.stack([-th[..., 1], th[..., 0], zeros], axis=-1),
+            ],
+            axis=-2,
+        )
+        # Rodrigues with Taylor guards so gradients stay finite at theta=0
+        # (||theta|| is not differentiable at the origin)
+        sq = jnp.sum(th * th, axis=-1)[..., None, None]
+        small = sq < 1e-12
+        a = jnp.sqrt(jnp.where(small, 1.0, sq))
+        c1 = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(a) / a)
+        c2 = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(a)) / (a * a))
+        eye = jnp.broadcast_to(jnp.eye(3), k.shape)
+        exp_k = eye + c1 * k + c2 * (k @ k)
+        r = r @ exp_k
+    if cam_trans_delta is not None:
+        t = t + cam_trans_delta
+    out = viewmats.at[..., :3, :3].set(r)
+    return out.at[..., :3, 3].set(t)
+
+
 def render_gaussians(
     gaussians: Gaussians,
     extrinsics: jax.Array,
@@ -49,9 +94,13 @@ def render_gaussians(
     image_shape: Tuple[int, int],
     background: Optional[jax.Array] = None,
     max_per_tile: int = 4096,
+    cam_rot_delta: Optional[jax.Array] = None,  # [B, V, 3]
+    cam_trans_delta: Optional[jax.Array] = None,  # [B, V, 3]
 ) -> RenderOutput:
     """gaussians: batched [B, G, ...] (labels/qc optional); extrinsics
-    [B, V, 4, 4] camera-to-world; intrinsics [B, V, 3, 3] normalized."""
+    [B, V, 4, 4] camera-to-world; intrinsics [B, V, 3, 3] normalized.
+    ``cam_rot_delta``/``cam_trans_delta`` perturb the poses differentiably
+    (reference render_cuda theta/rho, cuda_splatting.py:109-118)."""
     h, w = image_shape
     b, v = extrinsics.shape[0], extrinsics.shape[1]
     if background is None:
@@ -65,6 +114,9 @@ def render_gaussians(
 
     intr_px = intrinsics.at[..., 0, :].multiply(w).at[..., 1, :].multiply(h)
     viewmats = jnp.linalg.inv(ext)
+    # rho lives in the scaled scene space, like the reference's (which gets
+    # the already-rescaled extrinsics, gaussian_renderer.py:42-48)
+    viewmats = apply_pose_delta(viewmats, cam_rot_delta, cam_trans_delta)
 
     sh_degree = int(round(gaussians.harmonics.shape[-1] ** 0.5)) - 1
 
@@ -93,6 +145,85 @@ def render_gaussians(
     )
     color = jnp.clip(color, 0.0, 1.0)
     return RenderOutput(color=color, depth=depth, alpha=alpha, qc_logits=None)
+
+
+def render_gaussians_orthographic(
+    extrinsics: jax.Array,  # [B, V, 4, 4] camera-to-world
+    width: jax.Array,  # [B, V] view width in world units
+    height: jax.Array,  # [B, V]
+    near: jax.Array,  # [B, V]
+    far: jax.Array,  # [B, V]
+    gaussians: Gaussians,
+    image_shape: Tuple[int, int],
+    background: Optional[jax.Array] = None,
+    fov_degrees: float = 0.1,
+    max_per_tile: int = 4096,
+) -> RenderOutput:
+    """Pseudo-orthographic rendering (reference render_cuda_orthographic,
+    cuda_splatting.py:125-216): emulate an orthographic camera by pulling the
+    camera back by d = (width/2) / tan(fov_x/2) with a tiny field of view, so
+    perspective convergence is negligible across the view volume. No 1/near
+    scene rescale (the reference variant is standalone, not wrapped by
+    SplattingCUDA)."""
+    h, w = image_shape
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+
+    fov_x = jnp.deg2rad(jnp.float32(fov_degrees))
+    tan_fov_x = jnp.tan(0.5 * fov_x)
+    dist = (0.5 * width) / tan_fov_x  # [B, V]
+    tan_fov_y = 0.5 * height / dist
+    near = near + dist
+    far = far + dist
+    # move each camera back along its optical axis (reference :158-161)
+    move = jnp.broadcast_to(jnp.eye(4), extrinsics.shape).at[..., 2, 3].set(-dist)
+    ext = extrinsics @ move
+
+    # pixel intrinsics from the tan-half-fovs (principal point centered)
+    fx = 0.5 * w / tan_fov_x
+    fy = 0.5 * h / tan_fov_y  # [B, V]
+    zero = jnp.zeros_like(fy)
+    one = jnp.ones_like(fy)
+    intr_px = jnp.stack(
+        [
+            jnp.stack([jnp.broadcast_to(fx, fy.shape), zero, 0.5 * w * one], -1),
+            jnp.stack([zero, fy, 0.5 * h * one], -1),
+            jnp.stack([zero, zero, one], -1),
+        ],
+        axis=-2,
+    )  # [B, V, 3, 3]
+
+    viewmats = jnp.linalg.inv(ext)
+    sh_degree = int(round(gaussians.harmonics.shape[-1] ** 0.5)) - 1
+
+    def render_view(means_i, covs_i, opac_i, harm_i, vm_v, ki_v, ext_v,
+                    near_v, far_v):
+        # one view per call: near/far are traced scalars (they vary per view
+        # with the pull-back distance, unlike the perspective path)
+        campos = ext_v[:3, 3]
+        dirs = means_i - campos[None]
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
+        colors = eval_sh_colors(harm_i[None], dirs[None], sh_degree)
+        c, dpt, a = rasterize(
+            means_i, covs_i, opac_i, colors, vm_v[None], ki_v[None],
+            image_shape, near=near_v, far=far_v, background=background,
+            max_per_tile=max_per_tile,
+        )
+        return c[0], dpt[0], a[0]
+
+    def render_item(means_i, covs_i, opac_i, harm_i, vm_i, ki_i, ext_i,
+                    near_i, far_i):
+        return jax.vmap(
+            lambda vm_v, ki_v, ext_v, n_v, f_v: render_view(
+                means_i, covs_i, opac_i, harm_i, vm_v, ki_v, ext_v, n_v, f_v
+            )
+        )(vm_i, ki_i, ext_i, near_i, far_i)
+
+    color, depth, alpha = jax.vmap(render_item)(
+        gaussians.means, gaussians.covariances, gaussians.opacities,
+        gaussians.harmonics, viewmats, intr_px, ext, near, far,
+    )
+    return RenderOutput(color=jnp.clip(color, 0.0, 1.0), depth=depth, alpha=alpha)
 
 
 def render_qc_factored(

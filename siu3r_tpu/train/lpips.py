@@ -51,6 +51,15 @@ def init_lpips_params(weights_path: Optional[str] = None, seed: int = 0):
         ]
         return {"convs": convs, "lins": lins, "pretrained": True}
 
+    import logging
+
+    logging.getLogger("siu3r_tpu").warning(
+        "LPIPS: no pretrained VGG16 weights found (weights_path=%s) - "
+        "falling back to a fixed-seed RANDOM VGG. The lpips loss/metric is a "
+        "perceptual-style signal but NOT numerically comparable to the "
+        "reference's torchvision LPIPS; results.json will carry "
+        "lpips_pretrained=false.", weights_path,
+    )
     rng = np.random.RandomState(seed)
     convs = []
     in_ch = 3

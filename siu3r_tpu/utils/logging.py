@@ -49,3 +49,34 @@ class RankedLogger:
 
     def debug(self, msg: str, rank: Optional[int] = None) -> None:
         self._log(logging.DEBUG, msg, rank)
+
+
+class MetricsHistory:
+    """Experiment tracker (the reference's WandbLogger + LearningRateMonitor
+    slot, src/run.py:42-48,71-81): appends one JSON object per event to
+    ``metrics.jsonl`` in the run output dir. Rank-0 only; safe to call from
+    every process. Offline-first (the reference also runs wandb offline by
+    default, configs/main.yaml:7)."""
+
+    def __init__(self, out_dir):
+        import pathlib
+
+        self.path = pathlib.Path(out_dir) / "metrics.jsonl"
+        self.enabled = _rank() == 0
+        if self.enabled:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, step: int, **scalars) -> None:
+        if not self.enabled:
+            return
+        import json
+        import time
+
+        record = {"step": int(step), "time": time.time()}
+        for k, v in scalars.items():
+            try:
+                record[k] = float(v)
+            except (TypeError, ValueError):
+                record[k] = v
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
