@@ -166,8 +166,11 @@ class _CroCoBase(nn.Module):
             patch_size=c.patch_size, embed_dim=c.enc_embed_dim, dtype=self.dtype
         )
         self.intrinsic_encoder = nn.Dense(c.enc_embed_dim, name="intrinsic_encoder")
+        # nn.remat inside the scan: backward recomputes each block body
+        # instead of storing per-block attention/MLP intermediates (param
+        # paths are unchanged — remat is a transparent lifted transform)
         self.enc_blocks = nn.scan(
-            _EncBlockScan,
+            nn.remat(_EncBlockScan, prevent_cse=False),
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.enc_depth,
@@ -176,7 +179,7 @@ class _CroCoBase(nn.Module):
         self.enc_norm = LayerNorm(name="enc_norm")
         self.decoder_embed = nn.Dense(c.dec_embed_dim, name="decoder_embed")
         self.dec_pairs = nn.scan(
-            dec_pair_cls,
+            nn.remat(dec_pair_cls, prevent_cse=False),
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.dec_depth,

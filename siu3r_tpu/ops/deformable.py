@@ -10,6 +10,7 @@ TPU (profiled before considering a Pallas variant, SURVEY.md §7.3.5).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence, Tuple
 
 import jax
@@ -118,6 +119,7 @@ def _msda_matmul(
 _MATMUL_MAX_HW = 2048
 
 
+@functools.partial(jax.checkpoint, static_argnums=(1,), prevent_cse=False)
 def multi_scale_deformable_attention(
     value: jax.Array,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -125,6 +127,10 @@ def multi_scale_deformable_attention(
     attention_weights: jax.Array,
 ) -> jax.Array:
     """reference mask2former/utils.py multi_scale_deformable_attention.
+
+    jax.checkpoint: the backward recomputes the one-hot bilinear weight
+    matrices instead of storing the [N, Lq, H, sum(HW)] tensors per call
+    (~1.6 GB across the adapter's 6 calls at the B=3 training shapes).
 
     value: [B, Len_in, heads, head_dim] (Len_in = sum of H*W over levels)
     spatial_shapes: static [(H, W)] per level

@@ -80,6 +80,7 @@ def init_lpips_params(weights_path: Optional[str] = None, seed: int = 0):
     return {"convs": convs, "lins": lins, "pretrained": False}
 
 
+@functools.partial(jax.checkpoint, prevent_cse=False)
 def _vgg_features(params, x: jax.Array) -> List[jax.Array]:
     """x [B, H, W, 3] in [-1, 1] -> 5 block outputs (post-ReLU)."""
     x = (x - _SHIFT) / _SCALE
