@@ -5,10 +5,14 @@ Loads ``output.ply`` (including ``semantic_label`` / ``instance_label`` /
 renders RGB / semantic / instance views with the TPU rasterizer using the
 same query-class-logit lifting math as the pipeline (viewer.py:338-446).
 
-Two modes:
-  * ``--orbit``: headless — renders an orbit trajectory to PNGs (works in
-    this environment; viser is not installed);
-  * interactive: starts a viser server when viser is available.
+Three modes:
+  * ``--orbit``: headless — renders an orbit trajectory to PNGs;
+  * ``--serve``: interactive — a dependency-free web viewer (stdlib
+    http.server + a small HTML/JS page): drag to orbit, scroll to zoom,
+    rgb/semantic/instance/depth mode buttons. Frames are rasterized
+    on-device per request (the reference's viser server renders the same
+    way per camera-move callback, viewer.py:375-446);
+  * default: viser server when viser is installed (it is not here).
 """
 
 from __future__ import annotations
@@ -163,10 +167,142 @@ def orbit_cameras(scene, n_frames=24, image_size=(256, 256), fov_deg=60.0):
     return np.stack(viewmats), np.stack([intr] * n_frames)
 
 
+def camera_from_spherical(center, yaw, pitch, radius, image_size, fov_deg=60.0):
+    """(yaw, pitch, radius) orbit camera around ``center`` -> (viewmat [4,4],
+    intr_px [3,3])."""
+    h, w = image_size
+    f = 0.5 * w / np.tan(np.radians(fov_deg) / 2)
+    intr = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    eye = center + radius * np.array([sy * cp, -sp, -cy * cp])
+    fwd = center - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, -1.0, 0.0])
+    right = np.cross(up, fwd)
+    nrm = np.linalg.norm(right)
+    if nrm < 1e-6:
+        right = np.array([1.0, 0.0, 0.0])
+        nrm = 1.0
+    right = right / nrm
+    up2 = np.cross(fwd, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up2, fwd, eye
+    return np.linalg.inv(c2w).astype(np.float32), intr
+
+
+_VIEWER_HTML = """<!doctype html>
+<html><head><title>siu3r_tpu viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:sans-serif;display:flex;
+flex-direction:column;align-items:center}
+#img{cursor:grab;image-rendering:pixelated;width:512px;height:512px;margin:12px}
+button{margin:2px;padding:6px 10px}button.on{background:#4a8}
+</style></head><body>
+<div id="bar">
+<button data-m="rgb" class="on">rgb</button>
+<button data-m="semantic">semantic</button>
+<button data-m="instance">instance</button>
+<button data-m="depth">depth</button>
+<span id="st"></span></div>
+<img id="img" width=512 height=512/>
+<script>
+let yaw=0, pitch=0.15, radius=1.0, mode="rgb", busy=false, dirty=true;
+const img=document.getElementById("img"), st=document.getElementById("st");
+function refresh(){
+  if(busy){dirty=true;return;} busy=true; dirty=false;
+  const t0=performance.now();
+  const u=`/render?yaw=${yaw.toFixed(3)}&pitch=${pitch.toFixed(3)}`+
+          `&radius=${radius.toFixed(3)}&mode=${mode}&t=${Date.now()}`;
+  const pre=new Image();
+  pre.onload=()=>{img.src=pre.src;
+    st.textContent=` ${(performance.now()-t0).toFixed(0)} ms`;
+    busy=false; if(dirty) refresh();};
+  pre.onerror=()=>{busy=false;};
+  pre.src=u;
+}
+let drag=null;
+img.onmousedown=e=>{drag=[e.clientX,e.clientY];e.preventDefault();};
+window.onmouseup=()=>drag=null;
+window.onmousemove=e=>{if(!drag)return;
+  yaw+=(e.clientX-drag[0])*0.01; pitch+=(e.clientY-drag[1])*0.01;
+  pitch=Math.max(-1.4,Math.min(1.4,pitch)); drag=[e.clientX,e.clientY];
+  refresh();};
+img.onwheel=e=>{e.preventDefault();radius*=Math.exp(e.deltaY*0.001);refresh();};
+document.querySelectorAll("#bar button").forEach(b=>b.onclick=()=>{
+  mode=b.dataset.m;
+  document.querySelectorAll("#bar button").forEach(x=>x.classList.remove("on"));
+  b.classList.add("on"); refresh();});
+refresh();
+</script></body></html>"""
+
+
+def serve(scene, port: int, image_size=(256, 256), block: bool = True):
+    """Interactive web viewer: render frames on demand over HTTP."""
+    import io
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from PIL import Image
+
+    center = np.median(scene["means"], axis=0)
+    base_radius = float(
+        np.percentile(
+            np.linalg.norm(scene["means"] - center, axis=-1), 70
+        )
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                body = _VIEWER_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if url.path != "/render":
+                self.send_response(404)
+                self.end_headers()
+                return
+            q = parse_qs(url.query)
+            get = lambda k, d: float(q.get(k, [d])[0])
+            yaw = get("yaw", 0.0)
+            pitch = get("pitch", 0.15)
+            radius = get("radius", 1.0) * base_radius
+            mode = q.get("mode", ["rgb"])[0]
+            vm, intr = camera_from_spherical(
+                center, yaw, pitch, radius, image_size
+            )
+            img = render_views(
+                scene, vm[None], intr[None], image_size, mode=mode
+            )[0]
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "PNG")
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    if not block:
+        return server  # tests drive the handler directly
+    print(f"[viewer] serving on http://localhost:{server.server_port}/ "
+          "(ctrl-c to stop)")
+    server.serve_forever()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--ply", type=str, required=True)
     parser.add_argument("--orbit", action="store_true", help="headless orbit render")
+    parser.add_argument("--serve", action="store_true", help="interactive web viewer")
     parser.add_argument("--mode", default="rgb", choices=["rgb", "semantic", "instance", "depth"])
     parser.add_argument("--output_path", default="viewer_out")
     parser.add_argument("--frames", type=int, default=24)
@@ -177,15 +313,20 @@ def main(argv=None):
     print(f"[viewer] {scene['means'].shape[0]} gaussians, "
           f"qc: {None if scene['qc'] is None else scene['qc'].shape}")
 
+    if args.serve:
+        serve(scene, args.port)
+        return
+
     if not args.orbit:
         try:
             import viser  # noqa: F401
         except ImportError:
             raise SystemExit(
-                "viser is not installed in this environment; use --orbit for "
-                "headless rendering"
+                "viser is not installed in this environment; use --serve for "
+                "the built-in interactive web viewer or --orbit for headless "
+                "rendering"
             )
-        raise SystemExit("interactive viser mode not wired yet; use --orbit")
+        raise SystemExit("viser mode not wired; use --serve or --orbit")
 
     from PIL import Image
 
