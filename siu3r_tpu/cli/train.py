@@ -84,7 +84,7 @@ def main(argv=None):
     step_fn = (
         pipe.make_dp_train_step(mesh)
         if mesh.size > 1
-        else jax.jit(pipe.train_step)
+        else pipe.make_train_step()
     )
 
     def numeric(batch):

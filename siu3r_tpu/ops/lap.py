@@ -1,21 +1,29 @@
-"""Linear assignment on-device: Jacobi auction algorithm with epsilon
-scaling (pure JAX, jit/vmap/SPMD-safe).
+"""Linear assignment on-device: Jacobi auction algorithm (pure JAX,
+jit/vmap/SPMD-safe).
 
 Replaces the scipy ``linear_sum_assignment`` host callback the reference
 relies on for Hungarian matching (video_seg_decoder.py:56-57, :215).
 A host callback stalls the device (10x per train step — once per aux layer)
 and is not supported inside SPMD-sharded jits; the auction algorithm runs
-entirely on-device and is epsilon-optimal — with the final epsilon below the
-minimal cost gap it returns an exact optimal assignment (validated against
-scipy in tests/test_lap.py).
+entirely on-device and is epsilon-optimal — with epsilon below the minimal
+cost gap it returns an exact optimal assignment (validated against scipy in
+tests/test_lap.py).
 
-The rectangular problem (R rows <= C columns) is squared up with zero-cost
-dummy rows: epsilon-scaling with persistent prices is only sound when every
-column ends the round assigned (unassigned columns would otherwise carry
-stale inflated prices across rounds, silently destroying optimality) — the
-dummies absorb the leftover columns at zero cost without changing the
-optimum over real rows. Invalid rows are treated as dummies and reported as
--1.
+Two regimes (dispatched on the static shape):
+  * ``r <= c/2`` (the training case: <=~24 GT objects vs 100 queries) — a
+    SINGLE round from all-zero prices. With equal initial prices the
+    rectangular forward auction is r*eps-optimal (Bertsekas; the lambda
+    condition "unassigned prices <= assigned prices" holds since unassigned
+    columns keep the common initial price), and with c-r slack columns it
+    converges in O(r) Jacobi iterations — measured <=19 iterations at
+    48x100 vs ~1400 for the round-1 squared form (the zero-benefit dummy
+    rows all chased the same cheapest column, one winner per iteration).
+  * otherwise — the round-1 squared form with dummy rows + epsilon scaling
+    with persistent prices (sound because every column ends each round
+    assigned; warm-started prices tame the near-tie price wars that make a
+    cold small-epsilon square run take thousands of iterations).
+
+Invalid rows are masked out and reported as -1.
 """
 
 from __future__ import annotations
@@ -24,6 +32,55 @@ import jax
 import jax.numpy as jnp
 
 _NEG = -1e18
+
+
+def _auction_round(benefit, row_valid, prices, eps, max_iters):
+    """One Jacobi auction round: bid until every valid row is assigned.
+    benefit [R, C]; prices [C]. Returns (prices, row_of [R])."""
+    r, c = benefit.shape
+    rows_arange = jnp.arange(r, dtype=jnp.int32)
+    owner = jnp.full((c,), -1, jnp.int32)  # column -> owning row
+    row_of = jnp.full((r,), -1, jnp.int32)  # row -> column
+
+    def cond(state):
+        it, prices, owner, row_of = state
+        return (it < max_iters) & ((row_of < 0) & row_valid).any()
+
+    def body(state):
+        it, prices, owner, row_of = state
+        values = benefit - prices[None, :]  # [r, c]
+        top2_vals, top2_idx = jax.lax.top_k(values, 2)
+        best_v = top2_vals[:, 0]
+        second_v = top2_vals[:, 1]
+        best_j = top2_idx[:, 0]
+        bids = prices[best_j] + (best_v - second_v) + eps
+        bidding = (row_of < 0) & row_valid
+        bids = jnp.where(bidding, bids, _NEG)
+        col_best_bid = jnp.full((c,), _NEG).at[best_j].max(bids)
+        is_cand = bidding & (bids >= col_best_bid[best_j]) & (bids > _NEG)
+        # deterministic tie-break: lowest row index wins the column
+        winner_row = jnp.full((c,), r, jnp.int32).at[
+            jnp.where(is_cand, best_j, c)
+        ].min(rows_arange, mode="drop")
+        won = is_cand & (winner_row[best_j] == rows_arange)
+        win_cols = jnp.where(won, best_j, c)
+        prev_owner = jnp.where(won, owner[best_j], -1)
+        row_of = row_of.at[jnp.where(prev_owner >= 0, prev_owner, r)].set(
+            -1, mode="drop"
+        )
+        owner = owner.at[win_cols].set(rows_arange, mode="drop")
+        row_of = row_of.at[jnp.where(won, rows_arange, r)].set(
+            win_cols.astype(jnp.int32), mode="drop"
+        )
+        prices = prices.at[win_cols].set(
+            jnp.where(won, bids, 0.0), mode="drop"
+        )
+        return it + 1, prices, owner, row_of
+
+    _, prices, owner, row_of = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), prices, owner, row_of)
+    )
+    return prices, row_of
 
 
 def auction_lap(
@@ -39,65 +96,32 @@ def auction_lap(
     if row_valid is None:
         row_valid = jnp.ones((r,), bool)
 
-    # square up: real valid rows keep -cost benefits; dummy/invalid rows get
-    # zero benefit everywhere
-    benefit_real = -cost.astype(jnp.float32)
+    if 2 * r <= c:
+        # fast rectangular path: single round, zero initial prices
+        benefit = jnp.where(row_valid[:, None], -cost.astype(jnp.float32), 0.0)
+        spread = jnp.maximum(jnp.max(jnp.abs(benefit)), 1.0)
+        _, row_of = _auction_round(
+            benefit, row_valid, jnp.zeros((c,), jnp.float32),
+            spread / 250000.0, max_iters,
+        )
+        return jnp.where(row_valid, row_of, -1)
+
+    # near-square: dummy rows + epsilon scaling with persistent prices
     benefit = jnp.zeros((c, c), jnp.float32)
     benefit = benefit.at[:r].set(
-        jnp.where(row_valid[:, None], benefit_real, 0.0)
+        jnp.where(row_valid[:, None], -cost.astype(jnp.float32), 0.0)
     )
-    n = c
+    all_valid = jnp.ones((c,), bool)
     spread = jnp.maximum(jnp.max(jnp.abs(benefit)), 1.0)
-    rows_arange = jnp.arange(n, dtype=jnp.int32)
 
-    def run_eps(carry, eps):
-        prices = carry
-        owner = jnp.full((n,), -1, jnp.int32)
-        row_of = jnp.full((n,), -1, jnp.int32)
-
-        def cond(state):
-            it, prices, owner, row_of = state
-            return (it < max_iters) & (row_of < 0).any()
-
-        def body(state):
-            it, prices, owner, row_of = state
-            values = benefit - prices[None, :]  # [n, n]
-            top2_vals, top2_idx = jax.lax.top_k(values, 2)
-            best_v = top2_vals[:, 0]
-            second_v = top2_vals[:, 1]
-            best_j = top2_idx[:, 0]
-            bids = prices[best_j] + (best_v - second_v) + eps
-            bidding = row_of < 0
-            bids = jnp.where(bidding, bids, _NEG)
-            col_best_bid = jnp.full((n,), _NEG).at[best_j].max(bids)
-            is_cand = bidding & (bids >= col_best_bid[best_j]) & (bids > _NEG)
-            # deterministic tie-break: lowest row index wins the column
-            winner_row = jnp.full((n,), n, jnp.int32).at[
-                jnp.where(is_cand, best_j, n)
-            ].min(rows_arange, mode="drop")
-            won = is_cand & (winner_row[best_j] == rows_arange)
-            win_cols = jnp.where(won, best_j, n)
-            prev_owner = jnp.where(won, owner[best_j], -1)
-            row_of = row_of.at[jnp.where(prev_owner >= 0, prev_owner, n)].set(
-                -1, mode="drop"
-            )
-            owner = owner.at[win_cols].set(rows_arange, mode="drop")
-            row_of = row_of.at[jnp.where(won, rows_arange, n)].set(
-                win_cols.astype(jnp.int32), mode="drop"
-            )
-            prices = prices.at[win_cols].set(
-                jnp.where(won, bids, 0.0), mode="drop"
-            )
-            return it + 1, prices, owner, row_of
-
-        _, prices, owner, row_of = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), prices, owner, row_of)
+    def run_eps(prices, eps):
+        prices, row_of = _auction_round(
+            benefit, all_valid, prices, eps, max_iters
         )
         return prices, row_of
 
     eps0 = spread / 4.0
     epss = eps0 / (5.0 ** jnp.arange(eps_scale, dtype=jnp.float32))
-    prices = jnp.zeros((n,), jnp.float32)
+    prices = jnp.zeros((c,), jnp.float32)
     prices, row_of = jax.lax.scan(run_eps, prices, epss)
-    final = row_of[-1][:r]
-    return jnp.where(row_valid, final, -1)
+    return jnp.where(row_valid, row_of[-1][:r], -1)

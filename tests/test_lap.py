@@ -50,3 +50,21 @@ def test_vmap_and_jit():
         v = np.asarray(valids[b])
         a = out[b][v]
         assert (a >= 0).all() and len(np.unique(a)) == v.sum()
+
+
+@pytest.mark.parametrize("r,c", [(8, 100), (24, 100)])
+def test_fast_rectangular_path_fuzz(r, c):
+    """The single-round rectangular path (2r <= c) must stay exact-optimal
+    across many instances, including near-tied costs (price-war stress)."""
+    import jax.numpy as jnp
+
+    for seed in range(15):
+        rng = np.random.RandomState(seed)
+        cost = rng.rand(r, c).astype(np.float32) * 10
+        if seed % 3 == 2:  # near-ties
+            cost = (cost * 1e-4 + 5.0).astype(np.float32)
+        ours = np.asarray(auction_lap(jnp.asarray(cost)))
+        rows, cols = scipy_opt.linear_sum_assignment(cost)
+        assert len(np.unique(ours)) == r
+        gap = cost[np.arange(r), ours].sum() - cost[rows, cols].sum()
+        assert gap <= 1e-3, (seed, gap)
