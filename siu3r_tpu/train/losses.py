@@ -11,7 +11,9 @@ smoothness x0.05 (:242-265), MSE render + 0.5*LPIPS at half resolution
 (:337-364).
 
 All shapes static: GT objects are padded to a fixed ``O`` with a validity
-mask; matching runs via the host-callback matcher.
+mask; matching runs fully on-device (auction LAP, ops/lap.py); point
+sampling rides the MXU via separable 2-tap contractions
+(ops/deformable.grid_sample_separable).
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from siu3r_tpu.ops.deformable import grid_sample_bilinear
+from siu3r_tpu.ops.deformable import grid_sample_separable
 from siu3r_tpu.train.matcher import hungarian_match, sample_mask_points
 
 
@@ -37,7 +39,7 @@ def _sample_points_one_mask(logits_hw, rng, num_points, oversample, importance,
         pre_coords if pre_coords is not None
         else jax.random.uniform(rng, (n_sampled, 2))
     )
-    vals = grid_sample_bilinear(
+    vals = grid_sample_separable(
         logits_hw[None, :, :, None], (2.0 * coords - 1.0)[None]
     )[0, :, 0]
     uncertainty = -jnp.abs(vals)
@@ -83,8 +85,8 @@ def _mask_losses_item(
             pre_coords=pre, extra_coords=extra,
         )
         grid = (2.0 * coords - 1.0)[None]
-        pl_ = grid_sample_bilinear(logits_hw[None, :, :, None], grid)[0, :, 0]
-        tl_ = grid_sample_bilinear(tgt_hw[None, :, :, None], grid)[0, :, 0]
+        pl_ = grid_sample_separable(logits_hw[None, :, :, None], grid)[0, :, 0]
+        tl_ = grid_sample_separable(tgt_hw[None, :, :, None], grid)[0, :, 0]
         tl_ = jax.lax.stop_gradient(tl_)
         ce = jnp.mean(
             jnp.maximum(pl_, 0) - pl_ * tl_ + jax.nn.softplus(-jnp.abs(pl_))

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from siu3r_tpu.ops.deformable import grid_sample_bilinear
+from siu3r_tpu.ops.deformable import grid_sample_bilinear, grid_sample_separable
 
 
 _MATMUL_MAX_HW = 4096
@@ -74,7 +74,7 @@ def sample_mask_points(masks: jax.Array, coords: jax.Array) -> jax.Array:
         return out.reshape(n, v, -1)
     imgs = masks.reshape(n * v, h, w, 1)
     grid = jnp.broadcast_to(2.0 * coords - 1.0, (n * v,) + coords.shape)
-    out = grid_sample_bilinear(imgs, grid)  # [N*V, P, 1]
+    out = grid_sample_separable(imgs, grid)  # [N*V, P, 1]
     return out.reshape(n, v, -1)
 
 

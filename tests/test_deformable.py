@@ -62,3 +62,20 @@ def test_msda_matches_reference():
         torch.from_numpy(w),
     )
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_grid_sample_separable_matches_bilinear():
+    """MXU separable sampling == gather-based bilinear (incl. OOB points)."""
+    import jax.numpy as jnp
+
+    from siu3r_tpu.ops.deformable import (
+        grid_sample_bilinear,
+        grid_sample_separable,
+    )
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(3, 17, 23, 1), np.float32)
+    grid = jnp.asarray(rng.rand(3, 500, 2) * 2.4 - 1.2, np.float32)  # some OOB
+    a = grid_sample_bilinear(img, grid)
+    b = grid_sample_separable(img, grid)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -110,13 +110,17 @@ def test_train_step_data_parallel(pipeline_and_state):
     mesh = create_mesh(8)
     batch = fake_batch(b=8, seed=1)
     sharded = shard_batch(batch, mesh)
-    state_r = replicate(state, mesh)
+    # the DP step donates its state argument (make_dp_train_step); keep the
+    # fixture's state alive for later tests by replicating a private copy
+    before = jax.tree.map(np.asarray, state.params)
+    state_r = replicate(jax.tree.map(jnp.array, state), mesh)
     step = pipe.make_dp_train_step(mesh)
     new_state, losses = step(state_r, sharded, jax.random.PRNGKey(2))
     assert np.isfinite(float(losses["total"]))
     # params moved and remain replicated (grads pmean'd before the update)
     moved = jax.tree.map(
-        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()),
+        before, new_state.params,
     )
     assert max(jax.tree.leaves(moved["mask2former"])) > 0.0
 
