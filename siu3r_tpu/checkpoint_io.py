@@ -23,3 +23,42 @@ def restore_checkpoint(path: str | Path) -> Any:
     path = Path(path).absolute()
     with ocp.PyTreeCheckpointer() as ckptr:
         return ckptr.restore(path)
+
+
+def save_train_state(
+    path: str | Path, state: Any, epoch: int, global_step: int
+) -> None:
+    """Full training resume point: params + batch_stats + optimizer state +
+    loop counters (the reference resumes Lightning ckpts incl. optimizer
+    state via ``trainer.fit(ckpt_path=...)``, run.py:50-52,101).
+
+    The optimizer state is stored as a flat leaf list — optax states are
+    NamedTuples whose dict round-trip through orbax would reorder fields;
+    unflattening against the live state's treedef on restore is exact."""
+    state = jax.device_get(state)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_leaves": list(jax.tree.leaves(state.opt_state)),
+        "step": state.step,
+        "epoch": epoch,
+        "global_step": global_step,
+    }
+    save_checkpoint(path, payload)
+
+
+def restore_train_state(path: str | Path, template_state: Any):
+    """-> (TrainState-like matching ``template_state``'s structure,
+    epoch, global_step)."""
+    restored = restore_checkpoint(path)
+    opt_state = jax.tree.unflatten(
+        jax.tree.structure(template_state.opt_state),
+        restored["opt_leaves"],
+    )
+    state = type(template_state)(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=opt_state,
+        step=restored["step"],
+    )
+    return state, int(restored["epoch"]), int(restored["global_step"])

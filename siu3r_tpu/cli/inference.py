@@ -64,7 +64,12 @@ def load_model_variables(model_path: str | None, cfg):
         return model, variables
     from siu3r_tpu.checkpoint_io import restore_checkpoint
 
-    return model, restore_checkpoint(str(path))
+    restored = restore_checkpoint(str(path))
+    # training resume points carry optimizer leaves/counters too — keep only
+    # the model collections
+    return model, {
+        k: restored[k] for k in ("params", "batch_stats") if k in restored
+    }
 
 
 def main(argv=None):

@@ -45,6 +45,10 @@ def build_dataset(cfg, train: bool):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default=None)
+    parser.add_argument(
+        "--resume", type=str, default=None,
+        help="checkpoint dir to resume from (params + optimizer + counters)",
+    )
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -55,7 +59,7 @@ def main(argv=None):
     from siu3r_tpu.data import Loader
     from siu3r_tpu.parallel import create_mesh, replicate, shard_batch
     from siu3r_tpu.pipeline import Pipeline
-    from siu3r_tpu.checkpoint_io import save_checkpoint
+    from siu3r_tpu.checkpoint_io import restore_train_state, save_train_state
     from siu3r_tpu.train.optimizer import make_lr_schedule
     from siu3r_tpu.utils.logging import MetricsHistory, RankedLogger
 
@@ -80,6 +84,11 @@ def main(argv=None):
 
     first = next(iter(loader))
     state = pipe.init_state(jax.random.PRNGKey(cfg.seed), first)
+    start_epoch, global_step = 0, 0
+    if args.resume:
+        state, start_epoch, global_step = restore_train_state(args.resume, state)
+        start_epoch += 1
+        log.info(f"resumed {args.resume}: epoch {start_epoch}, step {global_step}")
     state = replicate(state, mesh)
     step_fn = (
         pipe.make_dp_train_step(mesh)
@@ -103,8 +112,7 @@ def main(argv=None):
     )
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
-    global_step = 0
-    for epoch in range(cfg.trainer.max_epochs):
+    for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t_epoch = time.time()
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
@@ -125,11 +133,7 @@ def main(argv=None):
         )
         if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0 or epoch == cfg.trainer.max_epochs - 1:
             ckpt_dir = out_dir / "checkpoints" / f"epoch{epoch:03d}-{global_step}"
-            save_checkpoint(
-                ckpt_dir,
-                {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)},
-            )
+            save_train_state(ckpt_dir, state, epoch, global_step)
             log.info(f"saved checkpoint {ckpt_dir}")
 
 
