@@ -78,6 +78,9 @@ def main(argv=None):
             if isinstance(v, np.ndarray) and v.dtype != object
         }
         out, render, qc = eval_step(state, numeric)
+        from siu3r_tpu.models.mask2former.postprocess import segments_info
+
+        infos_all = segments_info(out.post, m2f.label_ids_to_fuse)
         sem_ids, ins_ids = lift_rendered_qc(
             qc,
             out.post["query_scores"],
@@ -116,6 +119,12 @@ def main(argv=None):
                 target_ins_pred=ins,
                 target_sem_gt=tgt_sem_gt,
                 target_ins_gt=tgt_ins_gt,
+                seg_infos=infos_all[bi],
+                context_images=np.asarray(batch["context_views_images"][bi]),
+                context_seg_map=np.asarray(out.post["segmentation"][bi]),
+                gt_masks=np.asarray(batch["gt_masks"][bi]),
+                gt_classes=np.asarray(batch["gt_classes"][bi]),
+                gt_valid=np.asarray(batch["gt_valid"][bi]),
             )
         viz.write_files()
         n_done += 1

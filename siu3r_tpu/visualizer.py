@@ -78,6 +78,7 @@ class Visualizer:
         target_ins_gt: Optional[np.ndarray] = None,
         seg_infos: Optional[List[dict]] = None,
         context_images: Optional[np.ndarray] = None,  # [V, H, W, 3]
+        context_seg_map: Optional[np.ndarray] = None,  # [V, H, W] segment ids
         gt_masks: Optional[np.ndarray] = None,  # [O, V, H, W]
         gt_classes: Optional[np.ndarray] = None,  # [O]
         gt_valid: Optional[np.ndarray] = None,  # [O]
@@ -165,10 +166,16 @@ class Visualizer:
                     )
 
         # labeled overlays with contours/boxes/class text over the context
-        # views (reference draw_overlay_segm_masks, visualizer.py:556-712)
+        # views (reference draw_overlay_segm_masks, visualizer.py:556-712).
+        # The overlay needs the panoptic SEGMENT-id map matching seg_infos'
+        # ids (context_seg_map = post["segmentation"]); the lifted instance
+        # ids live in a different id space.
+        overlay_map = (
+            context_seg_map if context_seg_map is not None else context_ins_pred
+        )
         if (
             context_images is not None
-            and context_ins_pred is not None
+            and overlay_map is not None
             and seg_infos is not None
         ):
             from siu3r_tpu.utils.visualize import (
@@ -178,7 +185,7 @@ class Visualizer:
 
             panels = [
                 labeled_instance_overlay(
-                    context_images, context_ins_pred, seg_infos,
+                    context_images, overlay_map, seg_infos,
                     alpha=self.cfg.overlay_mask_alpha,
                 )
             ]
