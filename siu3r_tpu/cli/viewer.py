@@ -236,8 +236,13 @@ refresh();
 </script></body></html>"""
 
 
-def serve(scene, port: int, image_size=(256, 256), block: bool = True):
-    """Interactive web viewer: render frames on demand over HTTP."""
+def serve(scene, port: int, image_size=(256, 256), block: bool = True,
+          host: str = "127.0.0.1"):
+    """Interactive web viewer: render frames on demand over HTTP.
+
+    Binds loopback by default — the render endpoint is unauthenticated, so
+    exposing it on all interfaces is an explicit opt-in (``--host 0.0.0.0``).
+    """
     import io
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
@@ -290,7 +295,7 @@ def serve(scene, port: int, image_size=(256, 256), block: bool = True):
             self.end_headers()
             self.wfile.write(body)
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     if not block:
         return server  # tests drive the handler directly
     print(f"[viewer] serving on http://localhost:{server.server_port}/ "
@@ -307,6 +312,11 @@ def main(argv=None):
     parser.add_argument("--output_path", default="viewer_out")
     parser.add_argument("--frames", type=int, default=24)
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address for --serve (default loopback; 0.0.0.0 exposes "
+        "the unauthenticated render endpoint on all interfaces)",
+    )
     args = parser.parse_args(argv)
 
     scene = load_gaussian_ply(args.ply)
@@ -314,7 +324,7 @@ def main(argv=None):
           f"qc: {None if scene['qc'] is None else scene['qc'].shape}")
 
     if args.serve:
-        serve(scene, args.port)
+        serve(scene, args.port, host=args.host)
         return
 
     if not args.orbit:

@@ -45,8 +45,16 @@ class Loader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
         self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int) -> None:
+        """Make the shuffle order a pure function of (seed, epoch) so a
+        resumed run re-derives the same order the original run would have
+        used at this epoch (torch DistributedSampler.set_epoch semantics;
+        the reference's Lightning resume restores loop/sampler state)."""
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -57,7 +65,7 @@ class Loader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
         n_batches = len(self)
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size]

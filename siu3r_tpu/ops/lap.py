@@ -34,13 +34,19 @@ import jax.numpy as jnp
 _NEG = -1e18
 
 
-def _auction_round(benefit, row_valid, prices, eps, max_iters):
+def _auction_round(benefit, row_valid, prices, eps, max_iters,
+                   owner=None, row_of=None):
     """One Jacobi auction round: bid until every valid row is assigned.
-    benefit [R, C]; prices [C]. Returns (prices, row_of [R])."""
+    benefit [R, C]; prices [C]. ``owner``/``row_of`` warm-start a partial
+    assignment (escalating-eps rescue rounds); if everything is already
+    assigned the while_loop exits after zero iterations.
+    Returns (prices, owner, row_of [R])."""
     r, c = benefit.shape
     rows_arange = jnp.arange(r, dtype=jnp.int32)
-    owner = jnp.full((c,), -1, jnp.int32)  # column -> owning row
-    row_of = jnp.full((r,), -1, jnp.int32)  # row -> column
+    if owner is None:
+        owner = jnp.full((c,), -1, jnp.int32)  # column -> owning row
+    if row_of is None:
+        row_of = jnp.full((r,), -1, jnp.int32)  # row -> column
 
     def cond(state):
         it, prices, owner, row_of = state
@@ -80,7 +86,7 @@ def _auction_round(benefit, row_valid, prices, eps, max_iters):
     _, prices, owner, row_of = jax.lax.while_loop(
         cond, body, (jnp.int32(0), prices, owner, row_of)
     )
-    return prices, row_of
+    return prices, owner, row_of
 
 
 def auction_lap(
@@ -90,20 +96,54 @@ def auction_lap(
     max_iters: int = 4000,
 ) -> jax.Array:
     """cost [R, C] float32 (R <= C); row_valid [R] bool (invalid rows get
-    assignment -1). Returns the assigned column per row, int32."""
+    assignment -1). Returns the assigned column per row, int32.
+
+    Non-convergence contract: if every round (including the escalating-eps
+    rescues, whose final eps is 4096x the base — large enough to end any
+    price war within the iteration budget) exhausts ``max_iters``, a
+    still-unassigned *valid* row returns -1. The criterion treats -1 as
+    "unmatched": every consumer masks with ``assignment >= 0`` before
+    ``jnp.clip(assignment, 0)`` (train/losses.py _label_loss /
+    _mask_losses_item), so a non-converged row drops out of the loss instead
+    of wrapping into a wrong query — graceful degradation, not silent
+    corruption.
+
+    Optimality: rows assigned in round k satisfy eps_k-CS at bid time, so
+    the total-cost gap is bounded by sum of the per-row bid-time epsilons;
+    in the common case everything assigns in round 0 (eps = spread/250000,
+    gap <= r*spread/250000). Tie-heavy matrices (duplicate GT masks,
+    saturated dice) may differ from scipy in *assignment* while agreeing in
+    *total cost* — fuzz-validated to gap <= 3e-7 over duplicated rows/
+    columns, quantized and constant-block costs (tests/test_lap.py)."""
     r, c = cost.shape
     assert r <= c, "auction_lap expects rows <= cols"
     if row_valid is None:
         row_valid = jnp.ones((r,), bool)
 
     if 2 * r <= c:
-        # fast rectangular path: single round, zero initial prices
+        # fast rectangular path: first round at exactness-level eps, then
+        # escalating-eps rescue rounds carrying prices AND assignments
+        # forward. Random cost matrices converge in the first round
+        # (<=~20 Jacobi iterations at 48x100) and every rescue round exits
+        # after ZERO iterations (no unassigned rows) — free. Tie-heavy
+        # matrices (duplicate GT masks) can stall the tiny-eps round in an
+        # eps-increment price war (measured 5600+ iterations for 15
+        # duplicated rows at 30x100 — the round-2 single-round form returned
+        # unassigned rows there); each rescue round multiplies eps by 8,
+        # ending the war while preserving eps-CS for rows assigned earlier
+        # at their smaller bid-time eps.
         benefit = jnp.where(row_valid[:, None], -cost.astype(jnp.float32), 0.0)
         spread = jnp.maximum(jnp.max(jnp.abs(benefit)), 1.0)
-        _, row_of = _auction_round(
-            benefit, row_valid, jnp.zeros((c,), jnp.float32),
-            spread / 250000.0, max_iters,
+        eps0 = spread / 250000.0
+        prices = jnp.zeros((c,), jnp.float32)
+        prices, owner, row_of = _auction_round(
+            benefit, row_valid, prices, eps0, max_iters
         )
+        for k in (64.0, 4096.0):
+            prices, owner, row_of = _auction_round(
+                benefit, row_valid, prices, eps0 * k, max_iters,
+                owner=owner, row_of=row_of,
+            )
         return jnp.where(row_valid, row_of, -1)
 
     # near-square: dummy rows + epsilon scaling with persistent prices
@@ -115,7 +155,7 @@ def auction_lap(
     spread = jnp.maximum(jnp.max(jnp.abs(benefit)), 1.0)
 
     def run_eps(prices, eps):
-        prices, row_of = _auction_round(
+        prices, _, row_of = _auction_round(
             benefit, all_valid, prices, eps, max_iters
         )
         return prices, row_of
