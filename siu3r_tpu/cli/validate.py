@@ -4,9 +4,19 @@ Runs the lift forward + novel-view render over the val split, writes the
 per-scene prediction protocol via the Visualizer, then evaluates
 (PSNR/SSIM/LPIPS + mIoU/PQ/mAP + depth) and prints results.json.
 
+Distributed protocol parity (reference src/pipeline.py:315-326 +
+src/run.py:84-97): the reference validates with ALL ranks running
+``validation_step`` under DDP, each rank writing disjoint per-scene dirs,
+then rank 0 evaluates behind barriers. Here the batch is sharded over the
+device mesh's ``data`` axis (``Pipeline.make_dp_eval_step``), outputs are
+gathered host-side (device->host gather stands in for the shared-FS round
+trip), every batch's scenes are written by the thread-pooled Visualizer,
+and a single evaluator pass runs at the end; under multi-process
+``jax.distributed`` runs only process 0 evaluates.
+
 Usage:
     python -m siu3r_tpu.cli.validate --config configs/scannet.yaml \
-        --ckpt checkpoints/epoch099 [--limit 10]
+        --ckpt checkpoints/epoch099 [--batch_size 8] [--limit 10]
 """
 
 from __future__ import annotations
@@ -19,12 +29,33 @@ from pathlib import Path
 import numpy as np
 
 
+def _pad_batch(batch, full: int):
+    """Edge-pad every array's leading dim to ``full`` (DistributedSampler
+    wrap-around equivalent); returns (batch, n_real)."""
+    n_real = len(batch["scene_names"])
+    if n_real == full:
+        return batch, n_real
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.dtype != object:
+            pad = np.repeat(v[-1:], full - n_real, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+        elif isinstance(v, list):
+            out[k] = v + [v[-1]] * (full - n_real)
+        else:
+            out[k] = v
+    return out, n_real
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--output_path", type=str, default=None)
-    parser.add_argument("--limit", type=int, default=-1)
+    parser.add_argument("--limit", type=int, default=-1,
+                        help="max number of eval batches")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="global eval batch (default: one per device)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -35,6 +66,7 @@ def main(argv=None):
     from siu3r_tpu.config import bind_scannet_classes, load_config
     from siu3r_tpu.data import Loader
     from siu3r_tpu.eval import Evaluator
+    from siu3r_tpu.parallel import create_mesh, replicate, shard_batch
     from siu3r_tpu.pipeline import Pipeline, TrainState, lift_rendered_qc
     from siu3r_tpu.utils.logging import RankedLogger
     from siu3r_tpu.visualizer import Visualizer
@@ -46,12 +78,20 @@ def main(argv=None):
     out_dir = Path(args.output_path or "outputs/val/run")
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    n_dev = min(cfg.trainer.devices, len(jax.devices()))
+    mesh = create_mesh(n_dev)
+    batch_size = args.batch_size or n_dev
+    if batch_size % n_dev:
+        raise SystemExit(f"--batch_size {batch_size} not divisible by {n_dev} devices")
+
     dataset = build_dataset(cfg, train=False)
     loader = Loader(
-        dataset, batch_size=1, shuffle=False, num_workers=2, drop_last=False
+        dataset, batch_size=batch_size, shuffle=False, num_workers=2,
+        drop_last=False,
     )
     pipe = Pipeline(cfg)
     first = next(iter(loader))
+    first, _ = _pad_batch(first, batch_size)
     if args.ckpt:
         variables = restore_checkpoint(args.ckpt)
         state = TrainState(
@@ -62,25 +102,29 @@ def main(argv=None):
         )
     else:
         log.warning("no --ckpt: random init (smoke mode)")
-        state = pipe.init_state(jax.random.PRNGKey(0), first)
+        state = pipe.init_state(jax.random.PRNGKey(0), _numeric(first))
+    state = replicate(state, mesh)
 
     viz = Visualizer(cfg.pipeline.visualizer)
-    eval_step = pipe.make_eval_step()
+    eval_step = (
+        pipe.make_dp_eval_step(mesh) if mesh.size > 1 else pipe.make_eval_step()
+    )
     m2f = cfg.pipeline.model.mask2former
-    n_done = 0
+    n_batches = 0
+    n_scenes = 0
+    step_seconds = []
     for batch in loader:
-        if args.limit > 0 and n_done >= args.limit:
+        if args.limit > 0 and n_batches >= args.limit:
             break
+        batch, n_real = _pad_batch(batch, batch_size)
+        numeric = shard_batch(_numeric(batch), mesh)
         t0 = time.time()
-        numeric = {
-            k: v
-            for k, v in batch.items()
-            if isinstance(v, np.ndarray) and v.dtype != object
-        }
         out, render, qc = eval_step(state, numeric)
+        jax.block_until_ready(qc)
+        step_seconds.append(time.time() - t0)
         from siu3r_tpu.models.mask2former.postprocess import segments_info
 
-        infos_all = segments_info(out.post, m2f.label_ids_to_fuse)
+        infos_all = segments_info(jax.device_get(out.post), m2f.label_ids_to_fuse)
         sem_ids, ins_ids = lift_rendered_qc(
             qc,
             out.post["query_scores"],
@@ -88,9 +132,7 @@ def main(argv=None):
             num_queries=m2f.num_queries,
             stuff_ids=tuple(m2f.label_ids_to_fuse),
         )
-        b = batch["context_views_images"].shape[0]
-        v = batch["context_views_images"].shape[1]
-        for bi in range(b):
+        for bi in range(n_real):
             ctx_ids = batch["context_views_id"][bi]
             tgt_ids = batch["target_views_id"][bi]
             ctx_pos = [int(np.where(tgt_ids == c)[0][0]) for c in ctx_ids]
@@ -126,13 +168,40 @@ def main(argv=None):
                 gt_classes=np.asarray(batch["gt_classes"][bi]),
                 gt_valid=np.asarray(batch["gt_valid"][bi]),
             )
+            n_scenes += 1
         viz.write_files()
-        n_done += 1
-        log.info(f"scene {n_done}: {time.time() - t0:.2f}s")
+        n_batches += 1
+        log.info(
+            f"batch {n_batches} ({n_real} scenes): {step_seconds[-1]:.2f}s "
+            f"step + {time.time() - t0 - step_seconds[-1]:.2f}s host"
+        )
 
+    if len(step_seconds) > 1:  # skip the compile batch
+        per_item = sum(step_seconds[1:]) / (len(step_seconds) - 1) / batch_size
+        log.info(
+            f"eval step: {per_item * 1000:.1f} ms/scene "
+            f"({1.0 / per_item:.2f} scenes/sec) at batch {batch_size} "
+            f"over {mesh.size} device(s)"
+        )
+
+    # rank-0 evaluation behind a barrier (reference pipeline.py:315-326)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("siu3r_val_write_done")
+        if jax.process_index() != 0:
+            return
     ev = Evaluator(cfg.pipeline.evaluator)
     result = ev.evaluate(str(out_dir))
     print(json.dumps({k: v for k, v in result.items() if not k.endswith("per_class")}, indent=2))
+
+
+def _numeric(batch):
+    return {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, np.ndarray) and v.dtype != object
+    }
 
 
 def _gt_maps(gt_masks, gt_classes, gt_valid):

@@ -61,9 +61,16 @@ class Pipeline:
     def init_state(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> TrainState:
         images = jnp.asarray(batch["context_views_images"])
         intr = jnp.asarray(batch["context_views_intrinsics"])
+        kw = {}
+        if "text_token" in batch:
+            # refer mode: trace the text embedder + lang cross-attn layers so
+            # their params exist in the state
+            kw["text_tokens"] = jnp.asarray(batch["text_token"])
         # jit the init: unjitted init dispatches per-op (~270 s for the full
         # model through the device tunnel)
-        variables = jax.jit(self.model.init)(rng, images, intr)
+        variables = jax.jit(functools.partial(self.model.init, **kw))(
+            rng, images, intr
+        )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self._tx = make_optimizer(
@@ -157,9 +164,62 @@ class Pipeline:
         losses["total"] = loss
         return loss, (mutated["batch_stats"], losses)
 
+    def refer_loss_fn(self, params, batch_stats, batch, rng):
+        """Referring-expression training loss (reference get_loss_dict refer
+        branch, video_seg_decoder.py:2308-2320 + refer_seg_forward :573-594):
+        seg-only forward (no gaussian heads — ScanRefer batches carry no
+        target views), final-layer Hungarian assignment, word-match CE. The
+        word/query similarity logits flow through the 6 lang cross-attn
+        layers inside VideoMask2Former (:2400-2443)."""
+        m2f = self.cfg.pipeline.model.mask2former
+        images = batch["context_views_images"]
+        intr = batch["context_views_intrinsics"]
+        (seg, post), mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            intr,
+            text_tokens=batch["text_token"],
+            train=True,
+            mutable=["batch_stats"],
+            method=SIU3RModel.seg_forward,
+        )
+        from siu3r_tpu.train.losses import refer_word_match_loss
+        from siu3r_tpu.train.matcher import hungarian_match
+
+        b = images.shape[0]
+        match_rngs = jax.random.split(rng, b)
+        assignment = jax.vmap(
+            functools.partial(
+                hungarian_match,
+                num_points=m2f.train_num_points,
+                cost_class=1.0,
+                cost_mask=m2f.mask_weight,
+                cost_dice=m2f.dice_weight,
+            )
+        )(
+            seg.class_queries_logits,
+            seg.masks_queries_logits,
+            batch["gt_masks"],
+            batch["gt_classes"],
+            batch["gt_valid"],
+            match_rngs,
+        )
+        losses: Dict[str, jax.Array] = {}
+        losses["word_match"] = refer_word_match_loss(
+            seg.word_logits, assignment, batch["gt_valid"]
+        )
+        loss = self.cfg.pipeline.weight_seg_loss * losses["word_match"]
+        losses["total"] = loss
+        return loss, (mutated["batch_stats"], losses)
+
+    def _pick_loss_fn(self, batch):
+        """Static dispatch: ScanRefer batches (text_token present) train the
+        refer path; everything else the full recon+seg recipe."""
+        return self.refer_loss_fn if "text_token" in batch else self.loss_fn
+
     def train_step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         (loss, (new_stats, losses)), grads = jax.value_and_grad(
-            self.loss_fn, has_aux=True
+            self._pick_loss_fn(batch), has_aux=True
         )(state.params, state.batch_stats, batch, rng)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -184,7 +244,7 @@ class Pipeline:
         def per_shard(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             (loss, (new_stats, losses)), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True
+                self._pick_loss_fn(batch), has_aux=True
             )(state.params, state.batch_stats, batch, rng)
             grads = jax.lax.pmean(grads, axis)
             losses = jax.lax.pmean(losses, axis)
@@ -223,9 +283,70 @@ class Pipeline:
     def make_eval_step(self):
         return jax.jit(self.eval_step)
 
+    def refer_eval_step(self, state: TrainState, batch):
+        """Referring-expression eval forward: seg-only model pass with text
+        tokens; per word, the argmax-similarity query's mask is upsampled to
+        the input resolution (bilinear, like the reference's post-process
+        interpolate) and thresholded at 0.5.
+
+        Returns (pred_masks [B, W, V, H, W] bool, word_logits [B, W, Q])."""
+        images = batch["context_views_images"]
+        intr = batch["context_views_intrinsics"]
+        h, w = images.shape[2], images.shape[3]
+        seg, _post = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            intr,
+            text_tokens=batch["text_token"],
+            method=SIU3RModel.seg_forward,
+        )
+        pred_q = jnp.argmax(seg.word_logits, axis=-1)  # [B, W]
+        # gather each word's query mask logits [B, W, V, h/4, w/4]
+        masks = jnp.take_along_axis(
+            seg.masks_queries_logits,
+            pred_q[:, :, None, None, None],
+            axis=1,
+        )
+        b, nw, v = masks.shape[0], masks.shape[1], masks.shape[2]
+        up = jax.image.resize(
+            masks.reshape(b * nw * v, *masks.shape[3:]),
+            (b * nw * v, h, w),
+            method="bilinear",
+        ).reshape(b, nw, v, h, w)
+        return up > 0.0, seg.word_logits  # sigmoid(x) > 0.5  <=>  x > 0
+
+    def make_refer_eval_step(self):
+        return jax.jit(self.refer_eval_step)
+
+    def make_dp_eval_step(self, mesh, axis: str = "data"):
+        """Data-parallel validation step: batch sharded over ``axis``, params
+        replicated, per-shard forward + novel-view render + factored qc
+        render — the reference's all-ranks ``validation_step``
+        (src/pipeline.py:289-326, 8-GPU DDP val). Output batch dims come
+        back sharded over the mesh; the caller gathers host-side and runs
+        the single-process evaluator — the reference's
+        rank-0-behind-barriers protocol (pipeline.py:315-326), with the
+        device->host gather standing in for the shared-filesystem round
+        trip."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        mapped = shard_map(
+            lambda state, batch: self.eval_step(state, batch),
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
     def eval_step(self, state: TrainState, batch):
         """Validation forward: lift + novel-view render (reference
-        step_w_query_class_logit_lift, pipeline.py:89-214)."""
+        step_w_query_class_logit_lift, pipeline.py:89-214). Color and the
+        factored qc channels composite over ONE shared projection/binning
+        per view (renderer.render_color_and_qc)."""
+        from siu3r_tpu.renderer import render_color_and_qc
+
         images = batch["context_views_images"]
         intr = batch["context_views_intrinsics"]
         h, w = images.shape[2], images.shape[3]
@@ -235,20 +356,12 @@ class Pipeline:
             intr,
             enable_query_class_logit_lift=True,
         )
-        render = render_gaussians(
-            out.gaussians,
-            batch["target_views_extrinsics"],
-            batch["target_views_intrinsics"],
-            (h, w),
-        )
-        from siu3r_tpu.renderer import render_qc_factored
-
         b, v = images.shape[0], images.shape[1]
         s = out.post["qc_mask_probs"].shape[1]
         qc_mask_cols = (
             out.post["qc_mask_probs"].reshape(b, s, v * h * w).transpose(0, 2, 1)
         )
-        qc = render_qc_factored(
+        render, qc = render_color_and_qc(
             out.gaussians,
             out.post["qc_class_probs"],
             qc_mask_cols,

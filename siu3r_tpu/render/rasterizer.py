@@ -339,33 +339,41 @@ def _rasterize_tiles(
     )(counts, row0, col0, params, colors)
 
 
-def rasterize(
+def rasterize_multi(
     means: jax.Array,
     covariances: jax.Array,
     opacities: jax.Array,
-    colors: jax.Array,
+    colors_list,
     viewmats: jax.Array,
     intrinsics_px: jax.Array,
     image_size: Tuple[int, int],
     near: float = 0.2,
     far: float = 1000.0,
-    background: Optional[jax.Array] = None,
     max_per_tile: int = 4096,
     slots_y: int = 4,
     slots_x: int = 2,
     channel_chunk: int = 64,
 ):
-    """Rasterize one scene's gaussians into ``ncam`` views.
+    """Rasterize one scene's gaussians into ``ncam`` views, compositing any
+    number of channel sets over ONE shared projection + binning.
 
-    means [G, 3]; covariances [G, 3, 3]; opacities [G]; colors [G, C] shared
-    across cameras or [ncam, G, C] per-camera (e.g. SH evaluated per view);
-    viewmats [ncam, 4, 4] world-to-camera; intrinsics_px [ncam, 3, 3].
+    The eval path renders RGB/depth AND the factored query-class channels
+    from the same gaussians and cameras (reference
+    gaussian_renderer.py:49-110 renders color and qc from the same scene);
+    the projection, depth sort, tile binning and per-tile params gather are
+    identical across the passes, so they are computed once here and only
+    the color-channel gather + compositing runs per set (VERDICT r2 #10).
 
-    Returns (color [ncam, H, W, C], depth [ncam, H, W], alpha [ncam, H, W]).
+    means [G, 3]; covariances [G, 3, 3]; opacities [G]; each entry of
+    ``colors_list`` is [G, C_i] shared across cameras or [ncam, G, C_i]
+    per-camera (e.g. SH evaluated per view); viewmats [ncam, 4, 4]
+    world-to-camera; intrinsics_px [ncam, 3, 3].
+
+    Returns (list of color [ncam, H, W, C_i] — NO background blended —
+    depth [ncam, H, W], alpha [ncam, H, W]).
     """
     h, w = image_size
     ncam = viewmats.shape[0]
-    per_cam_colors = colors.ndim == 3
     # the kernel processes gaussians in _CHUNK-sized MXU chunks
     max_per_tile = -(-max_per_tile // _CHUNK) * _CHUNK
     n_ty, n_tx = -(-h // TILE_H), -(-w // TILE_W)
@@ -412,39 +420,70 @@ def rasterize(
     row0 = jnp.tile(row0, ncam)
     col0 = jnp.tile(col0, ncam)
 
-    c_total = colors.shape[-1]
-    color_chunks = []
+    outs = []
     depth_img = None
     alpha_img = None
-    for c0 in range(0, c_total, channel_chunk):
-        cc = min(channel_chunk, c_total - c0)
-        if per_cam_colors:
-            col_chunk = colors[:, :, c0 : c0 + cc]  # [ncam, G, cc]
-            col_g = jnp.take_along_axis(
-                col_chunk[:, None], tables[..., None], axis=2
-            )  # [ncam, T, K, cc]
-        else:
-            col_chunk = colors[:, c0 : c0 + cc]  # [G, cc]
-            col_g = col_chunk[tables]  # [ncam, T, K, cc]
-        col_g = col_g.reshape(ncam * n_tiles, max_per_tile, cc)
-        color_t, aux_t = _rasterize_tiles_diff(
-            counts_flat, row0, col0, gathered, col_g
-        )
-        # untile: [ncam*T, cc, TH, TW] -> [ncam, H, W, cc]
-        color_t = color_t.reshape(ncam, n_ty, n_tx, cc, TILE_H, TILE_W)
-        color_t = color_t.transpose(0, 1, 4, 2, 5, 3).reshape(
-            ncam, n_ty * TILE_H, n_tx * TILE_W, cc
-        )[:, :h, :w]
-        color_chunks.append(color_t)
-        if depth_img is None:
-            aux_t = aux_t.reshape(ncam, n_ty, n_tx, 8, TILE_H, TILE_W)
-            aux_t = aux_t.transpose(0, 1, 4, 2, 5, 3).reshape(
-                ncam, n_ty * TILE_H, n_tx * TILE_W, 8
+    for colors in colors_list:
+        per_cam_colors = colors.ndim == 3
+        c_total = colors.shape[-1]
+        color_chunks = []
+        for c0 in range(0, c_total, channel_chunk):
+            cc = min(channel_chunk, c_total - c0)
+            if per_cam_colors:
+                col_chunk = colors[:, :, c0 : c0 + cc]  # [ncam, G, cc]
+                col_g = jnp.take_along_axis(
+                    col_chunk[:, None], tables[..., None], axis=2
+                )  # [ncam, T, K, cc]
+            else:
+                col_chunk = colors[:, c0 : c0 + cc]  # [G, cc]
+                col_g = col_chunk[tables]  # [ncam, T, K, cc]
+            col_g = col_g.reshape(ncam * n_tiles, max_per_tile, cc)
+            color_t, aux_t = _rasterize_tiles_diff(
+                counts_flat, row0, col0, gathered, col_g
+            )
+            # untile: [ncam*T, cc, TH, TW] -> [ncam, H, W, cc]
+            color_t = color_t.reshape(ncam, n_ty, n_tx, cc, TILE_H, TILE_W)
+            color_t = color_t.transpose(0, 1, 4, 2, 5, 3).reshape(
+                ncam, n_ty * TILE_H, n_tx * TILE_W, cc
             )[:, :h, :w]
-            depth_img = aux_t[..., 0]
-            alpha_img = aux_t[..., 1]
+            color_chunks.append(color_t)
+            if depth_img is None:
+                aux_t = aux_t.reshape(ncam, n_ty, n_tx, 8, TILE_H, TILE_W)
+                aux_t = aux_t.transpose(0, 1, 4, 2, 5, 3).reshape(
+                    ncam, n_ty * TILE_H, n_tx * TILE_W, 8
+                )[:, :h, :w]
+                depth_img = aux_t[..., 0]
+                alpha_img = aux_t[..., 1]
+        outs.append(jnp.concatenate(color_chunks, axis=-1))
+    return outs, depth_img, alpha_img
 
-    color = jnp.concatenate(color_chunks, axis=-1)
+
+def rasterize(
+    means: jax.Array,
+    covariances: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    viewmats: jax.Array,
+    intrinsics_px: jax.Array,
+    image_size: Tuple[int, int],
+    near: float = 0.2,
+    far: float = 1000.0,
+    background: Optional[jax.Array] = None,
+    max_per_tile: int = 4096,
+    slots_y: int = 4,
+    slots_x: int = 2,
+    channel_chunk: int = 64,
+):
+    """Single-channel-set wrapper over :func:`rasterize_multi`.
+
+    Returns (color [ncam, H, W, C], depth [ncam, H, W], alpha [ncam, H, W]).
+    """
+    outs, depth_img, alpha_img = rasterize_multi(
+        means, covariances, opacities, [colors], viewmats, intrinsics_px,
+        image_size, near=near, far=far, max_per_tile=max_per_tile,
+        slots_y=slots_y, slots_x=slots_x, channel_chunk=channel_chunk,
+    )
+    color = outs[0]
     if background is not None:
         color = color + (1.0 - alpha_img)[..., None] * background[None, None, None, :]
     return color, depth_img, alpha_img

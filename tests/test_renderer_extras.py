@@ -119,3 +119,37 @@ def test_apply_pose_delta_so3_roundtrip():
     back = apply_pose_delta(out, -theta, None)
     inner = np.asarray(back[0, :3, :3])
     np.testing.assert_allclose(inner, np.eye(3), atol=1e-4)
+
+
+def test_fused_color_qc_matches_separate():
+    """render_color_and_qc (shared projection/binning, VERDICT r2 #10) must
+    reproduce render_gaussians + render_qc_factored exactly."""
+    from siu3r_tpu.renderer import (
+        render_color_and_qc,
+        render_qc_factored,
+    )
+
+    g = _two_blob_scene()
+    rng = np.random.RandomState(0)
+    b, s, c1, v = 1, 3, 5, 2
+    n_gauss = g.means.shape[1]
+    class_probs = jnp.asarray(rng.rand(b, s, c1).astype(np.float32))
+    mask_cols = jnp.asarray(rng.rand(b, n_gauss, s).astype(np.float32))
+    ext = jnp.broadcast_to(jnp.eye(4), (b, v, 4, 4))
+    ext = ext.at[:, 1, 0, 3].set(0.1)
+    intr = jnp.broadcast_to(
+        jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]]), (b, v, 3, 3)
+    )
+    shape = (32, 32)
+
+    ref_render = render_gaussians(g, ext, intr, shape)
+    ref_qc = render_qc_factored(g, class_probs, mask_cols, ext, intr, shape)
+    render, qc = render_color_and_qc(g, class_probs, mask_cols, ext, intr, shape)
+
+    np.testing.assert_allclose(
+        np.asarray(render.color), np.asarray(ref_render.color), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(render.depth), np.asarray(ref_render.depth), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(qc), np.asarray(ref_qc), atol=1e-6)
