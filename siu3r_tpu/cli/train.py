@@ -19,10 +19,15 @@ from pathlib import Path
 
 
 def build_dataset(cfg, train: bool):
+    """Dataset dispatch (reference get_datamodule.py:4-77): scannet /
+    scannetpp / replica / concat (joint multi-dataset training) /
+    scanrefer (referring-expression segmentation)."""
     from siu3r_tpu.data import (
+        ConcatSceneDataset,
         ReplicaDataset,
         ScanNetDataset,
         ScanNetPPDataset,
+        ScanReferDataset,
     )
 
     dcfg = cfg.datamodule.dataset_cfg
@@ -30,6 +35,8 @@ def build_dataset(cfg, train: bool):
         "scannet": ScanNetDataset,
         "scannetpp": ScanNetPPDataset,
         "replica": ReplicaDataset,
+        "concat": ConcatSceneDataset,
+        "scanrefer": ScanReferDataset,
     }[dcfg.name]
     return cls(
         dcfg.root,
@@ -111,16 +118,23 @@ def main(argv=None):
         cfg.trainer.max_epochs, steps_per_epoch,
     )
 
-    rng = jax.random.PRNGKey(cfg.seed + 1)
+    # per-step rng = fold_in(base, global_step): a resumed run continues the
+    # random stream (matcher/point-sampling draws) instead of replaying the
+    # draws already consumed before the checkpoint
+    base_rng = jax.random.PRNGKey(cfg.seed + 1)
+    max_steps = cfg.trainer.max_steps
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t_epoch = time.time()
+        loader.set_epoch(epoch)
         for batch in loader:
-            rng, step_rng = jax.random.split(rng)
+            if max_steps >= 0 and global_step >= max_steps:
+                break
+            step_rng = jax.random.fold_in(base_rng, global_step)
             state, losses = step_fn(
                 state, shard_batch(numeric(batch), mesh), step_rng
             )
             if global_step % cfg.trainer.log_every_n_steps == 0:
-                vals = {k: float(v) for k, v in losses.items() if "_" not in k or k in ("render_mse", "depth_smoothness", "seg", "lpips", "total")}
+                vals = {k: float(v) for k, v in losses.items() if "_" not in k or k in ("render_mse", "depth_smoothness", "seg", "lpips", "total", "word_match")}
                 log.info(f"epoch {epoch} step {global_step}: " + json.dumps(vals))
                 history.log(
                     global_step, epoch=epoch, lr=float(lr_of(global_step)),
@@ -131,10 +145,17 @@ def main(argv=None):
         history.log(
             global_step, epoch=epoch, epoch_seconds=time.time() - t_epoch
         )
-        if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0 or epoch == cfg.trainer.max_epochs - 1:
+        hit_max_steps = max_steps >= 0 and global_step >= max_steps
+        if (
+            (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0
+            or epoch == cfg.trainer.max_epochs - 1
+            or hit_max_steps
+        ):
             ckpt_dir = out_dir / "checkpoints" / f"epoch{epoch:03d}-{global_step}"
             save_train_state(ckpt_dir, state, epoch, global_step)
             log.info(f"saved checkpoint {ckpt_dir}")
+        if hit_max_steps:
+            break
 
 
 if __name__ == "__main__":

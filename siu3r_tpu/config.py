@@ -64,6 +64,11 @@ class Mask2formerCfg:
     pre_norm: bool = False
     enforce_input_projection: bool = False
     train_refer_segmentation: bool = False
+    # vocab for the learned text embedder (ours: the reference ships NO text
+    # encoder — ScanRefer provides pre-tokenized ``text_token`` ids and
+    # VideoMask2Former consumes ready word_embeddings,
+    # video_seg_decoder.py:2400-2443; 49408 = CLIP BPE vocab size)
+    text_vocab_size: int = 49408
     # fixed padded query budget for jit-able panoptic lift (ours; the
     # reference keeps ragged per-image kept-query lists)
     max_lift_queries: int = 16
@@ -122,6 +127,7 @@ class OptimizerCfg:
 @dataclass
 class TrainerCfg:
     max_epochs: int = 100
+    max_steps: int = -1  # Lightning Trainer(max_steps): -1 = unlimited
     devices: int = 8
     accumulate_grad_batches: int = 1
     gradient_clip_val: float = 0.5

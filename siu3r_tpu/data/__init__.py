@@ -1,4 +1,5 @@
 from siu3r_tpu.data.datasets import (  # noqa: F401
+    ConcatSceneDataset,
     MultiViewSceneDataset,
     ReplicaDataset,
     ScanNetDataset,

@@ -265,38 +265,171 @@ class ReplicaDataset(MultiViewSceneDataset):
     spec = SamplingSpec("jpg", 10, 61, 0.4, 0.8, 50)
 
 
+class ConcatSceneDataset:
+    """Joint multi-dataset training — the reference's published training
+    recipe (``src/data/datamodules/concat_datamodule.py:91-180``,
+    ``get_datamodule.py:37-45``): ScanNet + ScanNet++ + Replica concatenated
+    into one index space, with sub-roots ``{root}/scannet``,
+    ``{root}/scannetpp``, ``{root}/replica`` (the reference's
+    ``data_dir + "/scannet"`` convention). Per-dataset epoch weighting rides
+    the member ``SamplingSpec.epoch_mult`` (Replica 50x), exactly like the
+    reference's Replica epoch-length multiplier. Missing sub-roots are
+    skipped with a warning so partial corpora still train."""
+
+    members = (
+        ("scannet", ScanNetDataset),
+        ("scannetpp", ScanNetPPDataset),
+        ("replica", ReplicaDataset),
+    )
+
+    def __init__(self, root: str, **kw):
+        self.datasets = []
+        for sub, cls in self.members:
+            subroot = osp.join(root, sub)
+            if osp.isdir(subroot):
+                self.datasets.append(cls(subroot, **kw))
+            else:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "concat: missing sub-dataset %s (skipped)", subroot
+                )
+        if not self.datasets:
+            raise FileNotFoundError(
+                f"concat root {root} has none of "
+                f"{[s for s, _ in self.members]}"
+            )
+        self._lens = [len(d) for d in self.datasets]
+
+    def __len__(self) -> int:
+        return sum(self._lens)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if idx < 0:
+            idx += len(self)
+        for d, n in zip(self.datasets, self._lens):
+            if idx < n:
+                return d[idx]
+            idx -= n
+        raise IndexError(idx)
+
+
 class ScanReferDataset(MultiViewSceneDataset):
-    """Referring-expression dataset (reference scanrefer_dataset.py:82-181):
-    per-object texts + pre-tokenized ``text_token``; masks are the referred
-    object's across both views."""
+    """Referring-expression dataset (reference scanrefer_dataset.py:82-181).
+
+    ``{split}_refer_seg_data.json`` schema (reference):
+      {scene: {"frame2object": {frame_id: [obj ids]},
+               "objects": {obj_id: {"panoptic_label_id": int,
+                                    "text": [str, ...],
+                                    "text_token": [[int, ...], ...]}}}}
+
+    Train sampling mirrors the reference: random anchor frame, second frame
+    10-30 frames ahead; context objects = union of the two frames' objects;
+    per object, masks = (instance map == obj_id) across BOTH views, class =
+    panoptic_label_id - 1, one randomly-chosen text/token sequence. Word i
+    corresponds to GT object i — the alignment ``refer_word_match_loss``
+    trains against. Val uses fixed ``val_refer_pair.json`` entries
+    ({"scan", "context_views_id", "context_objects"}). Outputs padded to
+    ``max_objects`` with a validity mask; no depth/extrinsics/targets (the
+    refer batch is seg-only, like the reference's)."""
 
     spec = SamplingSpec("jpg", 10, 101, 0.3, 0.8, 1)
 
     def __init__(self, root: str, train: bool = True, max_objects: int = 8,
                  max_tokens: int = 32, **kw):
-        super().__init__(root, train=train, max_objects=max_objects, **kw)
+        kw.pop("num_extra_context_views", None)
+        kw.pop("num_extra_target_views", None)
+        super().__init__(root, train=train, max_objects=max_objects,
+                         val_pair_json="val_refer_pair.json", **kw)
         split = "train" if train else "val"
         with open(osp.join(root, f"{split}_refer_seg_data.json")) as f:
             self.refer_data = json.load(f)
-        if not train:
-            with open(osp.join(root, "val_refer_pair.json")) as f:
-                self.val_pairs = json.load(f)
         self.max_tokens = max_tokens
+        if train:
+            self.scan_names = [
+                n for n in self.scan_names if n in self.refer_data
+            ]
+
+    def __len__(self) -> int:
+        return len(self.scan_names) if self.train else len(self.val_pairs)
 
     def _load_item(self, idx: int):
-        data = super()._load_item(idx)
-        scan = data["scene_names"]
-        entries = self.refer_data.get(scan, [])
-        texts, tokens = [], []
-        for e in entries[: self.max_objects]:
-            texts.append(e.get("text", ""))
-            tok = np.asarray(e.get("text_token", []), np.int32)[: self.max_tokens]
-            pad = np.zeros((self.max_tokens,), np.int32)
-            pad[: len(tok)] = tok
-            tokens.append(pad)
-        while len(tokens) < self.max_objects:
+        if self.train:
+            scan_name = self.scan_names[idx % len(self.scan_names)]
+            data = self.refer_data[scan_name]
+            frames = sorted(int(f) for f in data["frame2object"])
+            right_margin = max(len(frames) - 1 - 30, 0) or (len(frames) - 1)
+            i1 = self.rng.randint(0, right_margin)
+            i2 = min(i1 + self.rng.randint(10, 30), len(frames) - 1)
+            context_ids = [frames[i1], frames[i2]]
+            objects = sorted(
+                set(
+                    int(o)
+                    for f in context_ids
+                    for o in data["frame2object"][str(f)]
+                )
+            )
+        else:
+            pair = self.val_pairs[idx]
+            scan_name = pair["scan"]
+            data = self.refer_data[scan_name]
+            context_ids = list(pair["context_views_id"])
+            objs = pair["context_objects"]
+            objects = list(objs) if isinstance(objs, (list, tuple)) else [objs]
+        scan_path = osp.join(self.scans_dir, scan_name)
+
+        ctx_imgs = np.stack([self._load_color(scan_path, v) for v in context_ids])
+        intrinsic = np.loadtxt(osp.join(scan_path, "intrinsic.txt"))
+        s = self.image_size
+        k = np.array(
+            [
+                [intrinsic[0][0] / s, 0, intrinsic[0][2] / s],
+                [0, intrinsic[1][1] / s, intrinsic[1][2] / s],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+
+        from PIL import Image
+
+        ins_maps = []
+        for v in context_ids:
+            rgb = np.asarray(
+                Image.open(osp.join(scan_path, "panoptic", f"{v}.png"))
+            )
+            seg = decode_panoptic_png(rgb)
+            ins_maps.append(seg % 1000)
+        ins_maps = np.stack(ins_maps)  # [V, H, W]
+
+        o_max, t_max = self.max_objects, self.max_tokens
+        h, w = ins_maps.shape[1:]
+        masks = np.zeros((o_max, len(context_ids), h, w), np.float32)
+        classes = np.zeros((o_max,), np.int32)
+        valid = np.zeros((o_max,), bool)
+        texts: List[str] = []
+        tokens = np.zeros((o_max, t_max), np.int32)
+        for oi, obj_id in enumerate(objects[:o_max]):
+            obj = data["objects"][str(obj_id)]
+            choice = self.rng.randrange(len(obj["text"])) if self.train else 0
+            tok = np.asarray(obj["text_token"][choice], np.int32)[:t_max]
+            masks[oi] = (ins_maps == obj_id).astype(np.float32)
+            classes[oi] = int(obj["panoptic_label_id"]) - 1
+            valid[oi] = True
+            texts.append(obj["text"][choice])
+            tokens[oi, : len(tok)] = tok
+        while len(texts) < o_max:
             texts.append("")
-            tokens.append(np.zeros((self.max_tokens,), np.int32))
-        data["text"] = texts
-        data["text_token"] = np.stack(tokens)
-        return data
+        if not valid.any():
+            raise ValueError(f"No referred objects in {scan_name}")
+
+        return {
+            "scene_names": scan_name,
+            "context_views_id": np.asarray(context_ids, np.int32),
+            "context_views_images": ctx_imgs.astype(np.float32),
+            "context_views_intrinsics": np.stack([k] * len(context_ids)),
+            "gt_masks": masks,
+            "gt_classes": classes,
+            "gt_valid": valid,
+            "text": texts,
+            "text_token": tokens,
+        }

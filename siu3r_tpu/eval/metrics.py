@@ -311,3 +311,28 @@ def depth_errors(pred: np.ndarray, gt: np.ndarray) -> Tuple[float, float]:
     absrel = float(np.mean(np.abs(diff) / gt[valid]))
     rmse = float(np.sqrt(np.mean(diff**2)))
     return absrel, rmse
+
+
+def referred_mask_iou(
+    pred_masks: np.ndarray, gt_masks: np.ndarray, gt_valid: np.ndarray
+) -> Tuple[float, np.ndarray]:
+    """Referring-expression evaluation: per-word mask IoU.
+
+    pred_masks [W, V, H, W'] bool — the argmax-query mask per word,
+    upsampled to GT resolution (Pipeline.refer_eval_step); gt_masks
+    [O, V, H, W'] binary with word i <-> object i; gt_valid [O] bool.
+    Returns (mean IoU over valid words, per-word IoU array). The reference
+    ships no refer evaluator (its refer path stops at the training loss);
+    mask-IoU over referred objects is the standard ScanRefer protocol."""
+    n = min(pred_masks.shape[0], gt_masks.shape[0])
+    ious = []
+    for i in range(n):
+        if not gt_valid[i]:
+            continue
+        p = pred_masks[i].astype(bool)
+        g = gt_masks[i] > 0.5
+        union = np.logical_or(p, g).sum()
+        inter = np.logical_and(p, g).sum()
+        ious.append(float(inter) / float(union) if union else 1.0)
+    per_word = np.asarray(ious, np.float64)
+    return (float(per_word.mean()) if len(per_word) else 0.0), per_word

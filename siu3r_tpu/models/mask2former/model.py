@@ -52,9 +52,16 @@ class VideoMask2Former(nn.Module):
         multi_scale, mask_features = VideoMask2FormerPixelDecoder(
             c, dtype=self.dtype, name="pixel_decoder"
         )(multi_scale_feat)
+        # lang_input stays False even in refer mode: the reference's
+        # top-level forward never forwards word_embeddings into self.model
+        # (video_seg_decoder.py:2375-2380 calls it without the argument), so
+        # its decoder skip-self-attn lang path (:992, :1572) is DEAD CODE —
+        # the released refer behavior runs the decoder normally and applies
+        # the 6 lang cross-attn layers afterwards (:2400-2443). Verified by
+        # f64 oracle comparison (tests/test_torch_parity_lang.py).
         dec = VideoMask2FormerTransformerModule(
             c, dtype=self.dtype, name="transformer_module"
-        )(multi_scale, mask_features, lang_input=word_embeddings is not None)
+        )(multi_scale, mask_features, lang_input=False)
 
         class_predictor = nn.Dense(
             c.num_labels + 1, dtype=self.dtype, name="class_predictor"

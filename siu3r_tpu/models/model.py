@@ -78,6 +78,23 @@ class SIU3RModel(nn.Module):
         self.gaussian_param_head2 = DPTHead(
             num_channels=c.gaussian_head.raw_dim, head_type="gs_params"
         )
+        if c.mask2former.train_refer_segmentation:
+            # learned per-expression text encoder (embed + masked mean-pool).
+            # The reference ships NO text encoder: ScanRefer provides
+            # pre-tokenized ``text_token`` ids (scanrefer_dataset.py:152-170)
+            # and VideoMask2Former consumes ready word_embeddings
+            # (video_seg_decoder.py:2400-2443) — this closes that gap;
+            # swap for frozen CLIP text features when available.
+            self.text_embed = nn.Embed(
+                c.mask2former.text_vocab_size, c.mask2former.hidden_dim
+            )
+
+    def _embed_text(self, text_tokens: jax.Array) -> jax.Array:
+        """text_tokens [B, O, T] int (0 = pad) -> one embedding per referred
+        expression [B, O, hidden] (masked mean-pool over tokens)."""
+        emb = self.text_embed(text_tokens)  # [B, O, T, C]
+        m = (text_tokens > 0)[..., None].astype(emb.dtype)
+        return (emb * m).sum(axis=2) / jnp.maximum(m.sum(axis=2), 1.0)
 
     def _hooked(self, dec: List[jax.Array]) -> List[jax.Array]:
         hooks = dpt_hooks(self.cfg.croco.dec_depth)
@@ -120,13 +137,18 @@ class SIU3RModel(nn.Module):
         images: jax.Array,
         intrinsics: jax.Array,
         word_embeddings: Optional[jax.Array] = None,
+        text_tokens: Optional[jax.Array] = None,
         enable_query_class_logit_lift: bool = False,
         train: bool = False,
     ) -> ModelOutput:
         """images [B, V, H, W, 3] in [0, 1]; intrinsics [B, V, 3, 3]
-        normalized. Returns ModelOutput with labels lifted onto Gaussians."""
+        normalized. ``text_tokens`` [B, O, T] int: referring-expression
+        inputs, encoded to word_embeddings in-model (refer path).
+        Returns ModelOutput with labels lifted onto Gaussians."""
         c = self.cfg
         b, v, h, w, _ = images.shape
+        if text_tokens is not None and word_embeddings is None:
+            word_embeddings = self._embed_text(text_tokens)
 
         if c.num_views == 2:
             out = self.backbone(images, intrinsics)
@@ -197,6 +219,7 @@ class SIU3RModel(nn.Module):
         images: jax.Array,
         intrinsics: jax.Array,
         word_embeddings: Optional[jax.Array] = None,
+        text_tokens: Optional[jax.Array] = None,
         train: bool = False,
     ):
         """Understanding-only path (reference model.py:391-467): backbone +
@@ -204,6 +227,8 @@ class SIU3RModel(nn.Module):
         heads entirely. Returns (SegOutput, post dict)."""
         c = self.cfg
         b, v, h, w, _ = images.shape
+        if text_tokens is not None and word_embeddings is None:
+            word_embeddings = self._embed_text(text_tokens)
         if c.num_views == 2:
             out = self.backbone(images, intrinsics)
             all_feat_stacked = [
