@@ -11,6 +11,10 @@ Extra modes (numbers recorded in BASELINE.md):
   --batch N     also time batched throughput at batch N
   --multiview V also time the multi-view model at V views
   --breakdown   per-stage device timing (backbone / +adapter / +m2f / full)
+  --train N       full train step (fwd+losses+bwd+AdamW) at batch N
+  --train-views V multi-view train step at V views, batch 1 (ref main_multi)
+  --evalstep N    full EVAL step (fwd + fused color+qc render + lift) at
+                  batch N with 4 extra target views (the val-sweep workload)
 """
 
 import argparse
@@ -38,10 +42,26 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--multiview", type=int, default=0)
     ap.add_argument("--breakdown", action="store_true")
+    ap.add_argument("--train", type=int, default=0)
+    ap.add_argument("--train-views", type=int, default=0)
+    ap.add_argument("--evalstep", type=int, default=0)
     opts = ap.parse_args()
+
+    import os
 
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: full-model/train-step compiles are minutes
+    # through the axon remote-compile tunnel; warm reruns start in seconds
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
 
     from siu3r_tpu.config import RootCfg, bind_scannet_classes
     from siu3r_tpu.models.model import SIU3RModel
@@ -213,6 +233,134 @@ def main():
             f"(+{(dt - prev) * 1000:6.2f})",
             file=sys.stderr,
         )
+
+    if opts.evalstep:
+        import numpy as np
+
+        from siu3r_tpu.pipeline import Pipeline, TrainState, lift_rendered_qc
+
+        bb = opts.evalstep
+        pipe = Pipeline(root, lpips_enabled=False)
+        n_tgt = v + 4  # reference val: context + 4 extra target views
+        exts = np.stack([np.eye(4, dtype=np.float32)] * n_tgt)
+        for i in range(n_tgt):
+            exts[i, 0, 3] = 0.1 * i
+        ebatch = {
+            "context_views_images": jax.random.uniform(
+                jax.random.PRNGKey(10), (bb, v, h, w, 3)
+            ),
+            "context_views_intrinsics": jnp.broadcast_to(intr1, (bb, v, 3, 3)),
+            "target_views_extrinsics": jnp.broadcast_to(
+                jnp.asarray(exts), (bb, n_tgt, 4, 4)
+            ),
+            "target_views_intrinsics": jnp.broadcast_to(
+                intr1[:, :1], (bb, n_tgt, 3, 3)
+            ),
+        }
+        estate = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=None, step=0,
+        )
+        m2f = root.pipeline.model.mask2former
+
+        @jax.jit
+        def eval_full(state, batch):
+            out, render, qc = pipe.eval_step(state, batch)
+            sem, ins = lift_rendered_qc(
+                qc, out.post["query_scores"],
+                num_queries=m2f.num_queries,
+                stuff_ids=tuple(m2f.label_ids_to_fuse),
+            )
+            return (
+                render.color.sum() + render.depth.sum()
+                + sem.sum() + ins.sum()
+            )
+
+        float(eval_full(estate, ebatch))  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(eval_full(estate, ebatch))
+            ts.append(time.time() - t0)
+        dt_e = min(ts) / bb
+        print(
+            f"[bench] evalstep batch={bb}: {dt_e * 1000:.1f} ms/scene "
+            f"({1 / dt_e:.2f} scenes/sec) incl fused color+qc render + lift",
+            file=sys.stderr,
+        )
+        result[f"evalstep_b{bb}_scenes_per_sec"] = round(1 / dt_e, 3)
+
+    if opts.train or opts.train_views:
+        import dataclasses
+
+        import numpy as np
+
+        from siu3r_tpu.pipeline import Pipeline
+
+        # free the inference-model buffers before building the train state
+        # (params + Adam moments are ~7.4 GB fp32)
+        del variables
+        bb = opts.train or 1
+        vv = opts.train_views or 2
+        troot = root
+        if vv != 2:
+            troot = dataclasses.replace(
+                root,
+                pipeline=dataclasses.replace(
+                    root.pipeline,
+                    model=dataclasses.replace(root.pipeline.model, num_views=vv),
+                ),
+            )
+        pipe = Pipeline(troot, steps_per_epoch=1000)
+        rng = np.random.RandomState(0)
+        n_tgt = vv + 2
+        intr = np.asarray(intr1[0, 0])
+        exts = np.stack([np.eye(4, dtype=np.float32)] * n_tgt)
+        for i in range(n_tgt):
+            exts[i, 0, 3] = 0.1 * i
+        o = 48
+        tbatch = {
+            "context_views_images": jnp.asarray(
+                rng.rand(bb, vv, h, w, 3), jnp.float32
+            ),
+            "context_views_intrinsics": jnp.asarray(
+                np.broadcast_to(intr, (bb, vv, 3, 3)).copy()
+            ),
+            "target_views_images": jnp.asarray(
+                rng.rand(bb, n_tgt, h, w, 3), jnp.float32
+            ),
+            "target_views_intrinsics": jnp.asarray(
+                np.broadcast_to(intr, (bb, n_tgt, 3, 3)).copy()
+            ),
+            "target_views_extrinsics": jnp.asarray(
+                np.broadcast_to(exts, (bb, n_tgt, 4, 4)).copy()
+            ),
+            "gt_masks": jnp.asarray(
+                (rng.rand(bb, o, vv, h, w) > 0.8).astype(np.float32)
+            ),
+            "gt_classes": jnp.asarray(rng.randint(0, 20, (bb, o)), jnp.int32),
+            "gt_valid": jnp.asarray(
+                np.broadcast_to(np.arange(o)[None] < 15, (bb, o)).copy()
+            ),
+        }
+        state = pipe.init_state(jax.random.PRNGKey(0), tbatch)
+        step = pipe.make_train_step()
+        state, losses = step(state, tbatch, jax.random.PRNGKey(1))
+        jax.block_until_ready(losses)
+        t0 = time.time()
+        n_it = 5
+        for i in range(n_it):
+            state, losses = step(state, tbatch, jax.random.PRNGKey(2 + i))
+            jax.block_until_ready(losses)
+        dt_t = (time.time() - t0) / n_it
+        label = f"train b={bb} v={vv}"
+        print(
+            f"[bench] {label}: {dt_t * 1000:.1f} ms/step "
+            f"({bb / dt_t:.2f} items/sec)",
+            file=sys.stderr,
+        )
+        result[f"train_b{bb}_v{vv}_ms_per_step"] = round(dt_t * 1000, 1)
 
     print(json.dumps(result))
 

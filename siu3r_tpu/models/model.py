@@ -150,55 +150,65 @@ class SIU3RModel(nn.Module):
         if text_tokens is not None and word_embeddings is None:
             word_embeddings = self._embed_text(text_tokens)
 
-        if c.num_views == 2:
-            out = self.backbone(images, intrinsics)
-            all_feat_stacked = [
-                jnp.concatenate([f1, f2], axis=0)
-                for f1, f2 in zip(out.all_feat1, out.all_feat2)
-            ]
-            imgs_flat = jnp.concatenate([images[:, 0], images[:, 1]], axis=0)
-            dec_per_view = [out.dec1, out.dec2]
-        else:
-            mout = self.backbone(images, intrinsics)
-            all_feat_stacked = [
-                f.reshape((b * v,) + f.shape[2:]) for f in mout.all_feat
-            ]
-            imgs_flat = images.reshape(b * v, h, w, 3)
-            dec_per_view = [
-                [d[:, vi] for d in mout.dec_feat] for vi in range(v)
-            ]
-            out = mout
+        # named scopes label every fusion in device traces so profiler time
+        # attributes to model stages (bench.py --breakdown / BASELINE.md
+        # "where the time goes")
+        with jax.named_scope("backbone"):
+            if c.num_views == 2:
+                out = self.backbone(images, intrinsics)
+                all_feat_stacked = [
+                    jnp.concatenate([f1, f2], axis=0)
+                    for f1, f2 in zip(out.all_feat1, out.all_feat2)
+                ]
+                imgs_flat = jnp.concatenate(
+                    [images[:, 0], images[:, 1]], axis=0
+                )
+                dec_per_view = [out.dec1, out.dec2]
+            else:
+                mout = self.backbone(images, intrinsics)
+                all_feat_stacked = [
+                    f.reshape((b * v,) + f.shape[2:]) for f in mout.all_feat
+                ]
+                imgs_flat = images.reshape(b * v, h, w, 3)
+                dec_per_view = [
+                    [d[:, vi] for d in mout.dec_feat] for vi in range(v)
+                ]
+                out = mout
 
         # one batched adapter call over all views (shared weights; the
         # reference loops views through the same module, model.py:342-345)
-        feats = self.adapter(imgs_flat, all_feat_stacked, train=train)
-        multi_scale_feat = []
-        for f in feats:
-            if c.num_views == 2:
-                f = jnp.stack([f[:b], f[b:]], axis=1)
-            else:
-                f = f.reshape((b, v) + f.shape[1:])
-            multi_scale_feat.append(f.astype(jnp.float32))
+        with jax.named_scope("adapter"):
+            feats = self.adapter(imgs_flat, all_feat_stacked, train=train)
+            multi_scale_feat = []
+            for f in feats:
+                if c.num_views == 2:
+                    f = jnp.stack([f[:b], f[b:]], axis=1)
+                else:
+                    f = f.reshape((b, v) + f.shape[1:])
+                multi_scale_feat.append(f.astype(jnp.float32))
 
-        gaussians, pts3d = self._gaussians_for_views(
-            dec_per_view, images, (h, w)
-        )
+        with jax.named_scope("gaussian_heads"):
+            gaussians, pts3d = self._gaussians_for_views(
+                dec_per_view, images, (h, w)
+            )
 
-        seg: SegOutput = self.mask2former(
-            multi_scale_feat, word_embeddings=word_embeddings
-        )
+        with jax.named_scope("mask2former"):
+            seg: SegOutput = self.mask2former(
+                multi_scale_feat, word_embeddings=word_embeddings
+            )
 
         m2f = c.mask2former
-        post = panoptic_segmentation(
-            seg.class_queries_logits,
-            seg.masks_queries_logits,
-            target_size=(h, w),
-            label_ids_to_fuse=tuple(m2f.label_ids_to_fuse),
-            num_labels=m2f.num_labels,
-            max_lift_queries=m2f.max_lift_queries,
-            threshold=m2f.seg_threshold,
-            word_logits=seg.word_logits,
-        )
+        with jax.named_scope("panoptic_post"):
+            post = panoptic_segmentation(
+                seg.class_queries_logits,
+                seg.masks_queries_logits,
+                target_size=(h, w),
+                label_ids_to_fuse=tuple(m2f.label_ids_to_fuse),
+                num_labels=m2f.num_labels,
+                max_lift_queries=m2f.max_lift_queries,
+                threshold=m2f.seg_threshold,
+                word_logits=seg.word_logits,
+            )
 
         flat = gaussians.flatten_views()
         semantic = post["semantic"].reshape(b, v * h * w)

@@ -57,7 +57,10 @@ def grid_sample_bilinear(img: jax.Array, grid: jax.Array) -> jax.Array:
     )
 
 
-def grid_sample_separable(img: jax.Array, grid: jax.Array) -> jax.Array:
+def grid_sample_separable(
+    img: jax.Array, grid: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
     """Single-channel bilinear point sampling as two separable 2-tap
     contractions — MXU work instead of 4 scattered gathers per point
     (TPU gathers run ~12 ns/tap; this is ~10x faster at the criterion's
@@ -65,8 +68,18 @@ def grid_sample_separable(img: jax.Array, grid: jax.Array) -> jax.Array:
     (zeros padding, align_corners=False): out[p] = ry_p^T IMG rx_p with
     2-tap one-hot rows; OOB taps match no index and drop.
 
-    img: [B, H, W, 1]; grid: [B, P, 2] normalized (x, y) in [-1, 1].
-    Returns [B, P, 1].
+    A row-gather formulation (take_along_axis the two y-tap rows, saving
+    the H-redundant matmul FLOPs) was tried in round 3 and measured 7x
+    SLOWER end-to-end: XLA lowers the broadcast-index gather poorly on
+    TPU, and its scatter-transpose in the backward is worse — the one-hot
+    matmul stays.
+
+    img: [B, H, W, 1]; grid: [B, P, 2] normalized (x, y) in [-1, 1];
+    ``precision``: matmul precision for the y-contraction — HIGHEST (fp32,
+    default) for parity-critical paths; DEFAULT (one-pass bf16 MXU, ~6x
+    faster) is numerically fine for sampling *binary GT masks* (loss-target
+    error ~4e-3 absolute), used by the criterion's no-gradient target
+    sampling. Returns [B, P, 1].
     """
     b, h, w, c = img.shape
     assert c == 1, "separable path is single-channel"
@@ -90,7 +103,7 @@ def grid_sample_separable(img: jax.Array, grid: jax.Array) -> jax.Array:
         ry.astype(jnp.float32), img[..., 0].astype(jnp.float32),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # [B, P, W]
     out = jnp.sum(tmp * rx, axis=-1)
     return out[..., None].astype(img.dtype)

@@ -89,5 +89,15 @@ def eval_sh_colors(harmonics: jax.Array, dirs: jax.Array, degree: int) -> jax.Ar
     (with the 3DGS +0.5 offset and clamp-to-positive)."""
     d_sh = (degree + 1) ** 2
     basis = sh_basis(dirs, degree)  # [..., d_sh]
-    rgb = jnp.einsum("...cs,...s->...c", harmonics[..., :d_sh], basis)
+    # per-channel multiply-reduce instead of einsum: the [..., 3, d_sh]
+    # contraction puts (3, d_sh) minor-most, padded to (8, 128) tiles on
+    # TPU (a 768 MB train-step backward allocation at G=131k, round 3);
+    # three [..., d_sh] elementwise reductions tile cleanly
+    rgb = jnp.stack(
+        [
+            jnp.sum(harmonics[..., ci, :d_sh] * basis, axis=-1)
+            for ci in range(3)
+        ],
+        axis=-1,
+    )
     return jnp.maximum(rgb + 0.5, 0.0)

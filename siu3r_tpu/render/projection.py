@@ -52,20 +52,27 @@ def project_gaussians(
     tyz = jnp.clip(t[..., 1] / tz, -1.3 * tan_fovy, 1.3 * tan_fovy) * tz
 
     z2 = tz * tz
-    # J [G, 2, 3]
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / tz, zeros, -fx * txz / z2], axis=-1),
-            jnp.stack([zeros, fy / tz, -fy * tyz / z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    M = J @ rot  # [G, 2, 3]
-    cov2d = M @ covariances @ M.transpose(0, 2, 1)  # [G, 2, 2]
-    a = cov2d[..., 0, 0] + 0.3
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + 0.3
+    # cov2d = (J R) Sigma (J R)^T expanded to ELEMENTWISE [G] component
+    # arithmetic: batched [G, 2, 3] matrix products put the tiny 2/3 dims
+    # minor-most, which the TPU pads to (8, 128) tiles — the train-step
+    # backward materialized a [B, V, G, 2, 3] cotangent at 42.7x padding
+    # (36 MB -> 1.5 GB, round-3 OOM). Component form keeps every tensor
+    # [G]-shaped and pad-free; same math, same autodiff.
+    # Rows of M = J @ rot:  m0 = (fx/tz) r0 - (fx txz/z^2) r2,
+    #                       m1 = (fy/tz) r1 - (fy tyz/z^2) r2.
+    k0 = fx / tz
+    k1 = -fx * txz / z2
+    k2 = fy / tz
+    k3 = -fy * tyz / z2
+    m0 = [k0 * rot[0, j] + k1 * rot[2, j] for j in range(3)]  # 3 x [G]
+    m1 = [k2 * rot[1, j] + k3 * rot[2, j] for j in range(3)]
+    sig = [[covariances[..., i, j] for j in range(3)] for i in range(3)]
+    # s0 = m0 Sigma, s1 = m1 Sigma  (3 x [G] each)
+    s0 = [sum(m0[i] * sig[i][j] for i in range(3)) for j in range(3)]
+    s1 = [sum(m1[i] * sig[i][j] for i in range(3)) for j in range(3)]
+    a = sum(s0[j] * m0[j] for j in range(3)) + 0.3
+    b = sum(s0[j] * m1[j] for j in range(3))
+    c = sum(s1[j] * m1[j] for j in range(3)) + 0.3
 
     det = a * c - b * b
     det_safe = jnp.where(det > 0, det, 1.0)

@@ -33,7 +33,16 @@ def _sample_points_one_mask(logits_hw, rng, num_points, oversample, importance,
     """Uncertainty-based point sampling for ONE mask [H, W]
     (reference :444-506). Returns [num_points, 2] (x, y) in [0, 1].
     ``pre_coords`` [n_sampled, 2] / ``extra_coords`` [n_random, 2] override
-    the two random draws (parity tests inject the reference's points)."""
+    the two random draws (parity tests inject the reference's points).
+
+    Note: re-using the uncertainty-pass logit samples for the picked points
+    (instead of re-sampling at the final coords) was tried in round 3 and
+    REVERTED: it wires the 3x-larger uncertainty sampling into the
+    differentiated graph, whose VJP then transposes the full 37632-point
+    sampling — mask losses measured 40% slower (788 -> 1102 ms fwd,
+    +460 ms grad). Re-sampling keeps the uncertainty pass gradient-free
+    (top_k indices are non-differentiable) so XLA drops it from the
+    backward entirely."""
     n_sampled = int(num_points * oversample)
     coords = (
         pre_coords if pre_coords is not None
@@ -45,7 +54,18 @@ def _sample_points_one_mask(logits_hw, rng, num_points, oversample, importance,
     uncertainty = -jnp.abs(vals)
     n_uncertain = int(importance * num_points)
     n_random = num_points - n_uncertain
-    _, idx = jax.lax.top_k(uncertainty, n_uncertain)
+    if pre_coords is not None:
+        # parity path: bit-exact selection vs the reference's torch.topk
+        _, idx = jax.lax.top_k(uncertainty, n_uncertain)
+    else:
+        # training path: TPU-native approximate top-k. Exact top_k over the
+        # 37632 candidates is the single most expensive op in the criterion
+        # (~37 ms/layer of the 79 ms mask losses, round-3 microbench); the
+        # candidates are uniform RANDOM points, so swapping <=5% of the
+        # selected set for near-threshold neighbours is training-noise-level
+        _, idx = jax.lax.approx_max_k(
+            uncertainty, n_uncertain, recall_target=0.95
+        )
     picked = coords[idx]
     if extra_coords is not None:
         extra = extra_coords
@@ -84,9 +104,21 @@ def _mask_losses_item(
             logits_hw, key, num_points, oversample, importance,
             pre_coords=pre, extra_coords=extra,
         )
+        # uncertainty-point selection must not leak gradients into the
+        # re-sample below (reference: point_coords from a no-grad block)
+        coords = jax.lax.stop_gradient(coords)
         grid = (2.0 * coords - 1.0)[None]
         pl_ = grid_sample_separable(logits_hw[None, :, :, None], grid)[0, :, 0]
-        tl_ = grid_sample_separable(tgt_hw[None, :, :, None], grid)[0, :, 0]
+        # GT is a binary mask with no gradient: one-pass bf16 MXU sampling
+        # (~6x faster at 256^2) perturbs the loss target by <=4e-3 — only
+        # the parity path pays fp32 (grid_sample_separable docstring)
+        tgt_precision = (
+            jax.lax.Precision.HIGHEST if pre is not None
+            else jax.lax.Precision.DEFAULT
+        )
+        tl_ = grid_sample_separable(
+            tgt_hw[None, :, :, None], grid, precision=tgt_precision
+        )[0, :, 0]
         tl_ = jax.lax.stop_gradient(tl_)
         ce = jnp.mean(
             jnp.maximum(pl_, 0) - pl_ * tl_ + jax.nn.softplus(-jnp.abs(pl_))
@@ -157,64 +189,129 @@ def segmentation_loss(
     ``pre`` [B, O*V, n_sampled, 2], ``extra`` [B, O*V, n_random, 2] —
     overrides every random draw so the criterion can be compared
     term-by-term against the reference with identical sample points
-    (tests/test_criterion_parity.py)."""
+    (tests/test_criterion_parity.py).
+
+    Random path (training): the matcher's uniform sample points are drawn
+    once per item and SHARED across layers — the static GT masks are
+    point-sampled once instead of once per layer (the reference redraws per
+    layer, video_seg_decoder.py:136-147; sharing only correlates the
+    matcher's sampling noise across layers, each layer's cost matrix stays
+    an unbiased estimate of the same integral). The layer loop stays
+    UNROLLED: a lax.scan variant measured 2x slower on-chip (round 3) —
+    serializing the layers destroys XLA's inter-layer overlap of MXU
+    matmuls with the matcher's VPU/while_loop work. The injected path keeps
+    the reference's per-layer independent draws."""
     b = gt_masks.shape[0]
     num_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
+    n_layers = len(aux_class_logits)
+    match_fn = functools.partial(
+        hungarian_match,
+        num_points=match_points,
+        cost_class=1.0,
+        cost_mask=mask_weight,
+        cost_dice=dice_weight,
+    )
+    loss_fn = functools.partial(
+        _mask_losses_item,
+        num_points=num_points,
+        oversample=oversample,
+        importance=importance,
+    )
     losses: Dict[str, jax.Array] = {}
-    total = 0.0
-    for li, (cls_l, msk_l) in enumerate(zip(aux_class_logits, aux_mask_logits)):
-        inj = injected_coords[li] if injected_coords is not None else None
-        rng_layer = jax.random.fold_in(rng, li)
-        match_rngs = jax.random.split(jax.random.fold_in(rng_layer, 0), b)
-        match_fn = functools.partial(
-            hungarian_match,
-            num_points=match_points,
-            cost_class=1.0,
-            cost_mask=mask_weight,
-            cost_dice=dice_weight,
-        )
-        if inj is not None:
+
+    if injected_coords is not None:
+        # parity path: reference-identical per-layer draws, unrolled
+        total = 0.0
+        for li, (cls_l, msk_l) in enumerate(
+            zip(aux_class_logits, aux_mask_logits)
+        ):
+            inj = injected_coords[li]
+            rng_layer = jax.random.fold_in(rng, li)
+            match_rngs = jax.random.split(jax.random.fold_in(rng_layer, 0), b)
             assignment = jax.vmap(
                 lambda c, m, gm, gc, gv, r, mc: match_fn(
                     c, m, gm, gc, gv, r, coords=mc
                 )
             )(cls_l, msk_l, gt_masks, gt_classes, gt_valid, match_rngs,
               inj["match"])
-        else:
-            assignment = jax.vmap(match_fn)(
-                cls_l, msk_l, gt_masks, gt_classes, gt_valid, match_rngs
-            )
-
-        mask_rngs = jax.random.split(jax.random.fold_in(rng_layer, 1), b)
-        loss_fn = functools.partial(
-            _mask_losses_item,
-            num_points=num_points,
-            oversample=oversample,
-            importance=importance,
-        )
-        if inj is not None:
+            mask_rngs = jax.random.split(jax.random.fold_in(rng_layer, 1), b)
             ce_sum, dice_sum = jax.vmap(
                 lambda m, gm, a, r, pre, extra: loss_fn(
                     m, gm, a, r, pre_coords=pre, extra_coords=extra
                 )
             )(msk_l, gt_masks, assignment, mask_rngs, inj["pre"], inj["extra"])
-        else:
-            ce_sum, dice_sum = jax.vmap(loss_fn)(
-                msk_l, gt_masks, assignment, mask_rngs
+            loss_mask = ce_sum.sum() / num_masks
+            loss_dice = dice_sum.sum() / num_masks
+            loss_ce = _label_loss(
+                cls_l, gt_classes, assignment, num_labels, no_object_weight
             )
+            suffix = "" if li == n_layers - 1 else f"_{li}"
+            losses[f"loss_mask{suffix}"] = loss_mask
+            losses[f"loss_dice{suffix}"] = loss_dice
+            losses[f"loss_cross_entropy{suffix}"] = loss_ce
+            total = total + (
+                mask_weight * loss_mask
+                + dice_weight * loss_dice
+                + class_weight * loss_ce
+            )
+        losses["seg_total"] = total
+        return losses
+
+    # training path: shared match points, GT sampled once, layers unrolled
+    from siu3r_tpu.train.matcher import sample_mask_points
+
+    # the matcher is a no-grad assignment heuristic (reference @torch.no_grad
+    # matcher): one-pass bf16 MXU sampling is ample for its cost matrix
+    match_prec = jax.lax.Precision.DEFAULT
+    match_rng = jax.random.fold_in(rng, 1000)
+    match_coords = jax.random.uniform(match_rng, (b, match_points, 2))
+    tgt_pts = jax.vmap(
+        lambda gm, c: sample_mask_points(
+            gm, c, precision=match_prec
+        ).reshape(gm.shape[0], -1)
+    )(gt_masks, match_coords)  # [B, O, V*P]
+
+    # the point-loss body is wrapped in jax.checkpoint: its live residuals
+    # (the one-hot interpolation rows over 37632 candidate points per
+    # matched object) would otherwise be stored for all 10 unrolled layers
+    # at once — ~1 GB of the train step's 16.2 GiB peak, which OOMs the
+    # 16 GB v5e chip (round-3 memory_analysis). The matcher stays OUTSIDE
+    # the checkpoint: it is stop_gradient (no residuals to store) and
+    # rematerializing it would re-run the auction while_loop in the
+    # backward for nothing.
+    ckpt_point_losses = jax.checkpoint(
+        lambda m, gm, a, r: jax.vmap(loss_fn)(m, gm, a, r)
+    )
+
+    total = 0.0
+    for li, (cls_l, msk_l) in enumerate(
+        zip(aux_class_logits, aux_mask_logits)
+    ):
+        rng_layer = jax.random.fold_in(rng, li)
+        assignment = jax.vmap(
+            lambda c, m, gm, gc, gv, mc, tp: match_fn(
+                c, m, gm, gc, gv, None, coords=mc, tgt_pts=tp,
+                precision=match_prec,
+            )
+        )(cls_l, msk_l, gt_masks, gt_classes, gt_valid, match_coords, tgt_pts)
+        mask_rngs = jax.random.split(jax.random.fold_in(rng_layer, 1), b)
+        ce_sum, dice_sum = ckpt_point_losses(
+            msk_l, gt_masks, assignment, mask_rngs
+        )
         loss_mask = ce_sum.sum() / num_masks
         loss_dice = dice_sum.sum() / num_masks
-        loss_ce = _label_loss(cls_l, gt_classes, assignment, num_labels, no_object_weight)
-        layer_total = (
+        loss_ce = _label_loss(
+            cls_l, gt_classes, assignment, num_labels, no_object_weight
+        )
+        suffix = "" if li == n_layers - 1 else f"_{li}"
+        losses[f"loss_mask{suffix}"] = loss_mask
+        losses[f"loss_dice{suffix}"] = loss_dice
+        losses[f"loss_cross_entropy{suffix}"] = loss_ce
+        total = total + (
             mask_weight * loss_mask
             + dice_weight * loss_dice
             + class_weight * loss_ce
         )
-        suffix = "" if li == len(aux_class_logits) - 1 else f"_{li}"
-        losses[f"loss_mask{suffix}"] = loss_mask
-        losses[f"loss_dice{suffix}"] = loss_dice
-        losses[f"loss_cross_entropy{suffix}"] = loss_ce
-        total = total + layer_total
     losses["seg_total"] = total
     return losses
 
@@ -243,12 +340,18 @@ def mse_render_loss(render: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def refer_word_match_loss(word_logits: jax.Array, assignment: jax.Array, gt_valid: jax.Array) -> jax.Array:
-    """Referring-expression loss (reference refer_seg_forward :573-594):
-    CE between word/query similarity logits and the matched query index.
-    word_logits [B, W, Q]; assignment [B, O] with word i <-> object i."""
+    """Referring-expression loss (reference refer_seg_forward
+    video_seg_decoder.py:573-594): CE between word/query similarity logits
+    and the matched query index. word_logits [B, W, Q]; assignment [B, O]
+    with word i <-> object i. Normalization matches the reference exactly:
+    ``F.cross_entropy`` (mean over an item's words) accumulated with ``+=``
+    over the batch — i.e. per-item mean, summed over items."""
     b, nw, q = word_logits.shape
     target = jnp.clip(assignment[:, :nw], 0)
     valid = (assignment[:, :nw] >= 0) & gt_valid[:, :nw]
     logp = jax.nn.log_softmax(word_logits, axis=-1)
     ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
-    return jnp.where(valid, ce, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+    per_item = jnp.where(valid, ce, 0.0).sum(axis=1) / jnp.maximum(
+        valid.sum(axis=1), 1
+    )
+    return per_item.sum()

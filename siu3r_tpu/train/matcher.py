@@ -50,7 +50,10 @@ def _interp_matrix(coords: jax.Array, h: int, w: int) -> jax.Array:
     return s
 
 
-def sample_mask_points(masks: jax.Array, coords: jax.Array) -> jax.Array:
+def sample_mask_points(
+    masks: jax.Array, coords: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
     """masks [N, V, H, W]; coords [P, 2] in [0,1] (x, y) shared across N.
     Returns [N, V, P] bilinear samples (grid_sample semantics,
     align_corners=False, reference utils.py:62-96).
@@ -69,12 +72,12 @@ def sample_mask_points(masks: jax.Array, coords: jax.Array) -> jax.Array:
             flat.astype(jnp.float32), s,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )  # [N*V, P]
         return out.reshape(n, v, -1)
     imgs = masks.reshape(n * v, h, w, 1)
     grid = jnp.broadcast_to(2.0 * coords - 1.0, (n * v,) + coords.shape)
-    out = grid_sample_separable(imgs, grid)  # [N*V, P, 1]
+    out = grid_sample_separable(imgs, grid, precision=precision)  # [N*V, P, 1]
     return out.reshape(n, v, -1)
 
 
@@ -110,13 +113,18 @@ def hungarian_match(
     cost_mask: float = 5.0,
     cost_dice: float = 5.0,
     coords: jax.Array = None,
+    tgt_pts: jax.Array = None,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Single-item matching (vmap over batch outside).
 
     class_logits [Q, C+1]; mask_logits [Q, V, h, w]; gt_masks [O, V, H, W];
     gt_classes [O]; gt_valid [O]. Returns assignment [O] int32 (query id per
     gt, -1 when invalid). ``coords`` [P, 2] overrides the random sample
-    points (parity tests inject the reference's coordinates)."""
+    points (parity tests inject the reference's coordinates); ``tgt_pts``
+    [O, V*P] supplies pre-sampled GT values for those coords (the criterion
+    shares match points across aux layers so the static GT masks are
+    sampled once, not once per layer)."""
     # matching is not differentiated (reference matcher is @torch.no_grad)
     class_logits = jax.lax.stop_gradient(class_logits)
     mask_logits = jax.lax.stop_gradient(mask_logits)
@@ -124,8 +132,13 @@ def hungarian_match(
     o = gt_masks.shape[0]
     if coords is None:
         coords = jax.random.uniform(rng, (num_points, 2))
-    pred_pts = sample_mask_points(mask_logits, coords).reshape(q, -1)
-    tgt_pts = sample_mask_points(gt_masks, coords).reshape(o, -1)
+    pred_pts = sample_mask_points(
+        mask_logits, coords, precision=precision
+    ).reshape(q, -1)
+    if tgt_pts is None:
+        tgt_pts = sample_mask_points(
+            gt_masks, coords, precision=precision
+        ).reshape(o, -1)
 
     probs = jax.nn.softmax(class_logits, axis=-1)
     cls_cost = -probs[:, jnp.clip(gt_classes, 0, probs.shape[1] - 1)]  # [Q, O]

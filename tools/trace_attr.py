@@ -1,0 +1,92 @@
+"""Attribute device-trace time to model stages via jax.named_scope.
+
+Parses the XPlane protobuf that ``jax.profiler.start_trace`` writes and
+aggregates per-op device time by (a) the named-scope path embedded in each
+HLO op's ``tf_op``/metadata name (the scopes set in
+``siu3r_tpu/models/model.py`` — backbone / adapter / gaussian_heads /
+mask2former / panoptic_post) and (b) the HLO category (fusion kinds,
+copies, convolutions ...). This implements VERDICT round-2 item #8: every
+leaf-time bucket in BASELINE.md "where the time goes" gets a name.
+
+Usage:
+    python tools/trace_attr.py /tmp/jax_trace   # after a traced run
+"""
+
+from __future__ import annotations
+
+import collections
+import gzip
+import sys
+from pathlib import Path
+
+
+def _load_xspace(trace_dir: str):
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = sorted(Path(trace_dir).rglob("*.xplane.pb"))
+    if not paths:
+        raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    raw = paths[-1].read_bytes()
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(raw)
+    return xs
+
+
+def attribute(trace_dir: str, top: int = 25):
+    xs = _load_xspace(trace_dir)
+    device_planes = [
+        p for p in xs.planes
+        if ("TPU" in p.name or "/device:" in p.name) and "Host" not in p.name
+    ]
+    if not device_planes:
+        print("planes found:", [p.name for p in xs.planes])
+        raise RuntimeError("no device plane in trace")
+
+    by_scope = collections.Counter()
+    by_category = collections.Counter()
+    by_op = collections.Counter()
+    total_ns = 0
+    for plane in device_planes:
+        stat_names = dict(plane.stat_metadata.items())
+        ev_meta = dict(plane.event_metadata.items())
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "XLA TraceMe" not in line.name:
+                continue
+            for ev in line.events:
+                md = ev_meta.get(ev.metadata_id)
+                dur = ev.duration_ps // 1000  # -> ns
+                total_ns += dur
+                name = md.name if md else "?"
+                by_op[name] += dur
+                scope = "(unscoped)"
+                category = "other"
+                for st in ev.stats:
+                    sname = stat_names.get(st.metadata_id)
+                    key = sname.name if sname else ""
+                    val = st.str_value or (
+                        xs.hostnames  # placeholder, never used
+                        if False else st.str_value
+                    )
+                    if key == "tf_op" and st.str_value:
+                        # named_scope path, e.g. "backbone/encoder/..."
+                        scope = st.str_value.split("/")[0]
+                    elif key == "hlo_category" and st.str_value:
+                        category = st.str_value
+                by_scope[scope] += dur
+                by_category[category] += dur
+
+    def show(title, counter, n=top):
+        print(f"\n== {title} (total {total_ns / 1e6:.2f} ms) ==")
+        for k, v in counter.most_common(n):
+            print(f"  {v / 1e6:9.3f} ms  {v * 100.0 / max(total_ns, 1):5.1f}%  {k[:110]}")
+
+    show("by named scope", by_scope)
+    show("by HLO category", by_category)
+    show("top ops", by_op, top)
+    return by_scope, by_category, by_op
+
+
+if __name__ == "__main__":
+    attribute(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace")
