@@ -108,30 +108,32 @@ class Pipeline:
             mutable=["batch_stats"],
         )
 
-        render = render_gaussians(
-            out.gaussians,
-            batch["target_views_extrinsics"],
-            batch["target_views_intrinsics"],
-            (h, w),
-        )
+        with jax.named_scope("render_losses"):
+            render = render_gaussians(
+                out.gaussians,
+                batch["target_views_extrinsics"],
+                batch["target_views_intrinsics"],
+                (h, w),
+            )
 
         losses: Dict[str, jax.Array] = {}
-        seg_losses = segmentation_loss(
-            out.seg.aux_class_logits,
-            out.seg.aux_mask_logits,
-            batch["gt_masks"],
-            batch["gt_classes"],
-            batch["gt_valid"],
-            rng,
-            num_labels=m2f.num_labels,
-            class_weight=m2f.class_weight,
-            mask_weight=m2f.mask_weight,
-            dice_weight=m2f.dice_weight,
-            no_object_weight=m2f.no_object_weight,
-            num_points=m2f.train_num_points,
-            oversample=m2f.oversample_ratio,
-            importance=m2f.importance_sample_ratio,
-        )
+        with jax.named_scope("criterion"):
+            seg_losses = segmentation_loss(
+                out.seg.aux_class_logits,
+                out.seg.aux_mask_logits,
+                batch["gt_masks"],
+                batch["gt_classes"],
+                batch["gt_valid"],
+                rng,
+                num_labels=m2f.num_labels,
+                class_weight=m2f.class_weight,
+                mask_weight=m2f.mask_weight,
+                dice_weight=m2f.dice_weight,
+                no_object_weight=m2f.no_object_weight,
+                num_points=m2f.train_num_points,
+                oversample=m2f.oversample_ratio,
+                importance=m2f.importance_sample_ratio,
+            )
         losses["seg"] = seg_losses["seg_total"]
         loss = pcfg.weight_seg_loss * losses["seg"]
 
@@ -150,13 +152,18 @@ class Pipeline:
         if self.lpips_enabled:
             b, n = target_images.shape[0], target_images.shape[1]
             half = (h // 2, w // 2)
-            pred_half = bilinear_resize_torch(
-                render.color.reshape(b * n, h, w, 3), half, align_corners=True
-            )
-            tgt_half = bilinear_resize_torch(
-                target_images.reshape(b * n, h, w, 3), half, align_corners=True
-            )
-            losses["lpips"] = lpips_mod.lpips(self.lpips_params, pred_half, tgt_half)
+            with jax.named_scope("lpips"):
+                pred_half = bilinear_resize_torch(
+                    render.color.reshape(b * n, h, w, 3), half,
+                    align_corners=True
+                )
+                tgt_half = bilinear_resize_torch(
+                    target_images.reshape(b * n, h, w, 3), half,
+                    align_corners=True
+                )
+                losses["lpips"] = lpips_mod.lpips(
+                    self.lpips_params, pred_half, tgt_half
+                )
             loss = loss + 0.5 * losses["lpips"]
         else:
             losses["lpips"] = jnp.zeros(())
@@ -221,8 +228,11 @@ class Pipeline:
         (loss, (new_stats, losses)), grads = jax.value_and_grad(
             self._pick_loss_fn(batch), has_aux=True
         )(state.params, state.batch_stats, batch, rng)
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        with jax.named_scope("optimizer"):
+            updates, new_opt = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,

@@ -21,7 +21,10 @@ from pathlib import Path
 
 
 def _load_xspace(trace_dir: str):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
 
     paths = sorted(Path(trace_dir).rglob("*.xplane.pb"))
     if not paths:
