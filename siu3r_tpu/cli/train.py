@@ -65,7 +65,7 @@ def main(argv=None):
     from siu3r_tpu.config import bind_scannet_classes, load_config
     from siu3r_tpu.data import Loader
     from siu3r_tpu.parallel import create_mesh, replicate, shard_batch
-    from siu3r_tpu.pipeline import Pipeline
+    from siu3r_tpu.pipeline import Pipeline, TrainState
     from siu3r_tpu.checkpoint_io import restore_train_state, save_train_state
     from siu3r_tpu.train.optimizer import make_lr_schedule
     from siu3r_tpu.utils.logging import MetricsHistory, RankedLogger
@@ -90,18 +90,34 @@ def main(argv=None):
     log.info(f"mesh: {mesh}; steps/epoch: {steps_per_epoch}")
 
     first = next(iter(loader))
-    state = pipe.init_state(jax.random.PRNGKey(cfg.seed), first)
+    use_zero1 = cfg.trainer.zero1 and mesh.size > 1
+    state = pipe.init_state(
+        jax.random.PRNGKey(cfg.seed), first,
+        zero1_mesh=mesh if use_zero1 else None,
+    )
     start_epoch, global_step = 0, 0
     if args.resume:
         state, start_epoch, global_step = restore_train_state(args.resume, state)
         start_epoch += 1
         log.info(f"resumed {args.resume}: epoch {start_epoch}, step {global_step}")
-    state = replicate(state, mesh)
-    step_fn = (
-        pipe.make_dp_train_step(mesh)
-        if mesh.size > 1
-        else pipe.make_train_step()
-    )
+    if use_zero1:
+        # params/stats replicate; the sharded opt_state already carries its
+        # mesh layout from init_zero1_opt_state (or the checkpoint template)
+        state = TrainState(
+            params=replicate(state.params, mesh),
+            batch_stats=replicate(state.batch_stats, mesh),
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+        step_fn = pipe.make_zero1_dp_train_step(mesh)
+        log.info("ZeRO-1: optimizer state sharded over the data axis")
+    else:
+        state = replicate(state, mesh)
+        step_fn = (
+            pipe.make_dp_train_step(mesh)
+            if mesh.size > 1
+            else pipe.make_train_step()
+        )
 
     def numeric(batch):
         import numpy as np

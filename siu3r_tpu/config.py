@@ -134,6 +134,11 @@ class TrainerCfg:
     check_val_every_n_epoch: int = 100
     log_every_n_steps: int = 10
     precision: str = "32"
+    # ZeRO-1 optimizer-state sharding over the data axis (TPU-native
+    # extension; numerically identical to plain DP — see
+    # Pipeline.make_zero1_dp_train_step). Frees ~(N-1)/N of the Adam-moment
+    # HBM per chip; needed for V=8 multi-view training on 16 GB chips.
+    zero1: bool = False
 
 
 @dataclass

@@ -43,6 +43,29 @@ class TrainState:
     step: jax.Array
 
 
+def _shard_global_clip(max_norm: float, axis: str):
+    """optax clip-by-global-norm over ZeRO-1 gradient SHARDS: the shards
+    partition the full gradient (padding contributes zeros), so the global
+    square-norm is the psum of per-device shard square-norms. Must run
+    inside shard_map with ``axis`` bound."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        sq = sum(
+            jnp.sum(jnp.square(u.astype(jnp.float32)))
+            for u in jax.tree.leaves(updates)
+        )
+        gnorm = jnp.sqrt(jax.lax.psum(sq, axis))
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+        return jax.tree.map(lambda u: u * scale.astype(u.dtype), updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 class Pipeline:
     """Owns the model + optimizer + loss config; produces jittable steps."""
 
@@ -58,7 +81,10 @@ class Pipeline:
         self.steps_per_epoch = steps_per_epoch
         self._tx = None
 
-    def init_state(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> TrainState:
+    def init_state(
+        self, rng: jax.Array, batch: Dict[str, jax.Array],
+        zero1_mesh=None,
+    ) -> TrainState:
         images = jnp.asarray(batch["context_views_images"])
         intr = jnp.asarray(batch["context_views_intrinsics"])
         kw = {}
@@ -73,14 +99,39 @@ class Pipeline:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        self._tx = make_optimizer(
-            params,
-            self.cfg.optimizer,
-            self.cfg.trainer,
+        opt_kw = dict(
             steps_per_epoch=self.steps_per_epoch,
             freeze_encoder=self.cfg.pipeline.model.croco.freeze == "encoder",
         )
-        opt_state = self._tx.init(params)
+        self._tx = make_optimizer(
+            params, self.cfg.optimizer, self.cfg.trainer, **opt_kw
+        )
+        # ZeRO-1 twin: global-norm clip as a psum-over-shards stage (the
+        # shards partition the gradient exactly — padding is zeros — so
+        # psum of shard square-norms IS the global square-norm), chained
+        # before the clip-free optimizer. Runs inside shard_map only.
+        self._tx_inner = make_optimizer(
+            params, self.cfg.optimizer, self.cfg.trainer,
+            include_clip=False, **opt_kw,
+        )
+        clip = self.cfg.trainer.gradient_clip_val
+        if clip and clip > 0:
+            self._tx_inner = optax.chain(
+                _shard_global_clip(clip, "data"), self._tx_inner
+            )
+        # gradient accumulation (reference Trainer(accumulate_grad_batches),
+        # src/run.py:89): average grads over k micro-batches, update every
+        # k-th step; the clip then sees the AVERAGED gradient, matching
+        # Lightning. MultiSteps is elementwise so it wraps the ZeRO-1 twin
+        # too (the accumulator then lives sharded, 1/N per device).
+        k_accum = self.cfg.trainer.accumulate_grad_batches
+        if k_accum and k_accum > 1:
+            self._tx = optax.MultiSteps(self._tx, k_accum)
+            self._tx_inner = optax.MultiSteps(self._tx_inner, k_accum)
+        if zero1_mesh is not None:
+            opt_state = self.init_zero1_opt_state(zero1_mesh, params)
+        else:
+            opt_state = self._tx.init(params)
         return TrainState(
             params=params,
             batch_stats=batch_stats,
@@ -289,6 +340,140 @@ class Pipeline:
         """Single-device jitted train step with the state donated (see
         make_dp_train_step note)."""
         return jax.jit(self.train_step, donate_argnums=(0,))
+
+    # ---- ZeRO-1: optimizer-state sharding over the data axis ----
+    #
+    # TPU-native extension beyond the reference's plain DDP: the Adam
+    # moments (~4.9 GB fp32 for the full model) are the largest replicated
+    # buffer in the train state. Each device stores and updates only a
+    # 1/N slice of every leaf (flattened, zero-padded to a multiple of N),
+    # then all-gathers the updated params over ICI. Numerically identical
+    # to the replicated path: grads are pmean'd and global-norm-clipped on
+    # the FULL (replicated) tensors first, and AdamW is elementwise, so
+    # slicing commutes with the update. This is what frees the HBM needed
+    # for V=8 multi-view training (reference configs/main_multi.yaml) on
+    # 16 GB chips.
+
+    @staticmethod
+    def _zero1_spec(opt_state, axis: str = "data"):
+        """Per-leaf PartitionSpec tree for a sharded opt_state: vector
+        (per-param) leaves concatenate over the data axis; scalar leaves
+        (schedule/Adam counts) are replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        return jax.tree.map(
+            lambda s: P(axis) if getattr(s, "ndim", 0) >= 1 else P(),
+            opt_state,
+        )
+
+    @staticmethod
+    def _shard_leaf(x, idx, n):
+        flat = x.reshape(-1)
+        pad = (-flat.size) % n
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad,), flat.dtype)]
+            )
+        per = flat.size // n
+        return jax.lax.dynamic_slice(flat, (idx * per,), (per,))
+
+    @staticmethod
+    def _unshard_leaf(x_s, like, axis):
+        full = jax.lax.all_gather(x_s, axis_name=axis, tiled=True)
+        return full[: like.size].reshape(like.shape).astype(like.dtype)
+
+    def init_zero1_opt_state(self, mesh, params, axis: str = "data"):
+        """Sharded optimizer init: each device materializes only its slice
+        of the Adam moments (never the full 2x-params state)."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        n = mesh.shape[axis]
+
+        def per_shard(p):
+            idx = jax.lax.axis_index(axis)
+            p_s = jax.tree.map(lambda x: self._shard_leaf(x, idx, n), p)
+            return self._tx_inner.init(p_s)
+
+        shard_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                ((x.size + (-x.size) % n) // n,), x.dtype
+            ),
+            params,
+        )
+        out_spec = self._zero1_spec(
+            jax.eval_shape(self._tx_inner.init, shard_shapes), axis
+        )
+        mapped = shard_map(
+            per_shard, mesh=mesh, in_specs=(P(),), out_specs=out_spec,
+            check_vma=False,
+        )
+        return jax.jit(mapped)(params)
+
+    def make_zero1_dp_train_step(self, mesh, axis: str = "data"):
+        """Data-parallel train step with ZeRO-1 sharded optimizer state.
+        Same contract as make_dp_train_step except ``state.opt_state`` must
+        come from ``init_zero1_opt_state`` (leaves are flat per-device
+        shards)."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        assert axis == "data", "ZeRO-1 clip stage is bound to the data axis"
+        n = mesh.shape[axis]
+
+        def per_shard(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            (loss, (new_stats, losses)), grads = jax.value_and_grad(
+                self._pick_loss_fn(batch), has_aux=True
+            )(state.params, state.batch_stats, batch, rng)
+            grads = jax.lax.pmean(grads, axis)
+            losses = jax.lax.pmean(losses, axis)
+            new_stats = jax.lax.pmean(new_stats, axis)
+            # global-norm clip happens inside self._tx_inner as a
+            # psum-over-shards stage (_shard_global_clip)
+            idx = jax.lax.axis_index(axis)
+            grads_s = jax.tree.map(
+                lambda g: self._shard_leaf(g, idx, n), grads
+            )
+            params_s = jax.tree.map(
+                lambda p: self._shard_leaf(p, idx, n), state.params
+            )
+            updates_s, new_opt = self._tx_inner.update(
+                grads_s, state.opt_state, params_s
+            )
+            new_params_s = optax.apply_updates(params_s, updates_s)
+            new_params = jax.tree.map(
+                lambda s, p: self._unshard_leaf(s, p, axis),
+                new_params_s,
+                state.params,
+            )
+            return (
+                TrainState(
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                    step=state.step + 1,
+                ),
+                losses,
+            )
+
+        def step(state, batch, rng):
+            # spec tree derived from the (traced) opt_state structure —
+            # vectors shard over the axis, scalars replicate
+            opt_spec = self._zero1_spec(state.opt_state, axis)
+            st_spec = TrainState(
+                params=P(), batch_stats=P(), opt_state=opt_spec, step=P()
+            )
+            mapped = shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(st_spec, P(axis), P()),
+                out_specs=(st_spec, P()),
+                check_vma=False,
+            )
+            return mapped(state, batch, rng)
+
+        return jax.jit(step, donate_argnums=(0,))
 
     def make_eval_step(self):
         return jax.jit(self.eval_step)

@@ -63,7 +63,12 @@ def make_optimizer(
     steps_per_epoch: int = 1000,
     freeze_encoder: bool = True,
     seg_lr_mult: float | None = None,
+    include_clip: bool = True,
 ):
+    """``include_clip=False`` returns the chain WITHOUT the global-norm clip
+    stage — used by the ZeRO-1 sharded train step, which must compute the
+    clip factor on the full (replicated) gradients before slicing per-device
+    shards (a shard-local global_norm would be wrong)."""
     lr = opt_cfg.lr
     seg_mult = seg_lr_mult if seg_lr_mult is not None else opt_cfg.seg_lr_mult
 
@@ -95,7 +100,11 @@ def make_optimizer(
         },
         labels,
     )
-    if trainer_cfg.gradient_clip_val and trainer_cfg.gradient_clip_val > 0:
+    if (
+        include_clip
+        and trainer_cfg.gradient_clip_val
+        and trainer_cfg.gradient_clip_val > 0
+    ):
         tx = optax.chain(
             optax.clip_by_global_norm(trainer_cfg.gradient_clip_val), tx
         )

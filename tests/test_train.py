@@ -125,6 +125,88 @@ def test_train_step_data_parallel(pipeline_and_state):
     assert max(jax.tree.leaves(moved["mask2former"])) > 0.0
 
 
+def test_train_step_zero1_matches_replicated(pipeline_and_state):
+    """ZeRO-1 sharded-optimizer DP step == replicated DP step, numerically:
+    grads are pmean'd + global-norm-clipped on the full tensors before
+    slicing, and AdamW is elementwise, so each device updating its 1/N
+    slice then all-gathering must reproduce the replicated update. Also
+    checks the memory contract: every vector opt_state leaf on-device is
+    1/8th of the param size."""
+    pipe, state, _ = pipeline_and_state
+    mesh = create_mesh(8)
+    batch = fake_batch(b=8, seed=4)
+    sharded = shard_batch(batch, mesh)
+
+    state_a = replicate(jax.tree.map(jnp.array, state), mesh)
+    ref_step = pipe.make_dp_train_step(mesh)
+    ref_state, ref_losses = ref_step(state_a, sharded, jax.random.PRNGKey(9))
+
+    z_opt = pipe.init_zero1_opt_state(mesh, jax.tree.map(jnp.array, state.params))
+    # per-device shard sizes: ceil(size/8) per vector leaf
+    p_leaves = jax.tree.leaves(state.params)
+    mu_like = [
+        leaf for leaf in jax.tree.leaves(z_opt) if getattr(leaf, "ndim", 0) >= 1
+    ]
+    assert mu_like, "no sharded moment leaves found"
+    total_params = sum(int(np.prod(p.shape)) for p in p_leaves)
+    total_global_moments = sum(int(np.prod(m.shape)) for m in mu_like)
+    # mu+nu for three trainable groups cover all non-frozen params; global
+    # (concatenated) moment element count stays ~2x trainable param count,
+    # but each DEVICE holds only 1/8 of it
+    for m in mu_like:
+        shard = m.addressable_shards[0].data
+        assert shard.shape[0] * 8 == m.shape[0], "leaf not sharded 1/8"
+    assert total_global_moments <= 2 * (total_params + 8 * len(mu_like))
+
+    state_b = TrainState(
+        params=replicate(jax.tree.map(jnp.array, state.params), mesh),
+        batch_stats=replicate(
+            jax.tree.map(jnp.array, state.batch_stats), mesh
+        ),
+        opt_state=z_opt,
+        step=jnp.zeros((), jnp.int32),
+    )
+    z_step = pipe.make_zero1_dp_train_step(mesh)
+    z_state, z_losses = z_step(state_b, sharded, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(
+        float(z_losses["total"]), float(ref_losses["total"]), rtol=1e-6
+    )
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()),
+        ref_state.params, z_state.params,
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-6, diffs
+
+
+def test_grad_accumulation(pipeline_and_state):
+    """accumulate_grad_batches=k (reference Trainer flag, src/run.py:89):
+    the first k-1 micro-steps leave params untouched; after k identical
+    micro-batches the update equals one k=1 step on the same batch (the
+    averaged grad is the same grad, and both schedules sit at count 0)."""
+    pipe, state, batch = pipeline_and_state
+    cfg = tiny_root_cfg()
+    cfg.trainer.accumulate_grad_batches = 2
+    pipe2 = Pipeline(cfg, steps_per_epoch=10)
+    state2 = pipe2.init_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(3)
+
+    mid_state, _ = pipe2.train_step(state2, batch, rng)
+    moved_mid = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state2.params, mid_state.params
+    )
+    assert max(jax.tree.leaves(moved_mid)) == 0.0, "params moved mid-accumulation"
+    end_state, _ = pipe2.train_step(mid_state, batch, rng)
+
+    # k=1 oracle from the same init (params trees are identical by seed)
+    ref_state, _ = pipe.train_step(state, batch, rng)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        ref_state.params, end_state.params,
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-6, diffs
+
+
 def test_train_step_multiview():
     """V=4 multi-view TRAINING step (the reference trains V=8 via
     configs/main_multi.yaml; forward parity was proven in round 2 but no
