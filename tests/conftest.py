@@ -23,3 +23,14 @@ import jax  # noqa: E402  (import after env setup)
 # before any backend is initialized
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compile cache: the 8-virtual-device train/eval step compiles
+# take minutes each on a few-core host and dominate suite runtime; warm
+# reruns hit the cache (keyed on HLO, so source edits that change the
+# computation still recompile)
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass  # older jax without these knobs
