@@ -45,7 +45,76 @@ def _pow2_at_least(n: int) -> int:
     return 1 << max(1, math.ceil(math.log2(max(2, n))))
 
 
-def bin_gaussians(
+def _tile_ranges(proj, n_ty, n_tx, slots_y, slots_x):
+    """Per-gaussian touched-tile ranges (3-sigma box, clamped to the static
+    slot grid — truncates extreme outliers). Returns (y0, y1, x0, x1, alive)."""
+    u, v = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.radius
+    x0 = jnp.clip(jnp.floor((u - r) / TILE_W), 0, n_tx - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((u + r) / TILE_W), 0, n_tx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((v - r) / TILE_H), 0, n_ty - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((v + r) / TILE_H), 0, n_ty - 1).astype(jnp.int32)
+    y1 = jnp.minimum(y1, y0 + slots_y - 1)
+    x1 = jnp.minimum(x1, x0 + slots_x - 1)
+    return y0, y1, x0, x1, proj.radius > 0
+
+
+def bin_gaussians_count(
+    proj: ProjectedGaussians,
+    image_size: Tuple[int, int],
+    max_per_tile: int,
+    slots_y: int,
+    slots_x: int,
+):
+    """Sort-free binning: identical tables to :func:`bin_gaussians_sort`.
+
+    The sort path packs (tile, depth-rank) keys for every (gaussian, slot)
+    pair — ``G * slots_y * slots_x`` keys (1M at G=131k) through an
+    O(n log^2 n) XLA sort per view, which round-2 profiling found dominating
+    the rasterizer. But the per-tile lists are just "the first K gaussians,
+    in depth order, whose tile range covers t": enumerate gaussians in depth
+    order once (one [G] argsort), build the [T, G] membership mask from the
+    range tests, cumsum along G, and binary-search the k-th member's
+    position (searchsorted of 1..K into the monotone cumsum row). Linear
+    work in G*T bits instead of the key sort, no rank packing, exact same
+    output. T is small by construction (32 tiles at 256^2 with 16x128
+    tiles); the [T, G] int32 cumsum is ~17 MB at G=131k."""
+    h, w = image_size
+    n_ty = -(-h // TILE_H)
+    n_tx = -(-w // TILE_W)
+    g = proj.mean2d.shape[0]
+
+    order = jnp.argsort(proj.depth)
+    proj_sorted = ProjectedGaussians(
+        mean2d=proj.mean2d[order],
+        conic=proj.conic[order],
+        depth=proj.depth[order],
+        radius=proj.radius[order],
+    )
+    y0, y1, x0, x1, alive = _tile_ranges(
+        proj_sorted, n_ty, n_tx, slots_y, slots_x
+    )
+    ty = jnp.arange(n_ty, dtype=jnp.int32)
+    tx = jnp.arange(n_tx, dtype=jnp.int32)
+    in_y = (y0[None, :] <= ty[:, None]) & (ty[:, None] <= y1[None, :])
+    in_x = (x0[None, :] <= tx[:, None]) & (tx[:, None] <= x1[None, :])
+    mask = (
+        in_y[:, None, :] & in_x[None, :, :] & alive[None, None, :]
+    ).reshape(n_ty * n_tx, g)
+
+    csum = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # [T, G] monotone
+    counts = jnp.minimum(csum[:, -1], max_per_tile).astype(jnp.int32)
+    k_range = jnp.arange(1, max_per_tile + 1, dtype=jnp.int32)
+    # position of the k-th set bit = first index where csum == k
+    pos = jax.vmap(
+        lambda row: jnp.searchsorted(row, k_range, side="left")
+    )(csum)  # [T, K]; k > count -> g (clipped); garbage rows masked by counts
+    pos = jnp.clip(pos, 0, g - 1)
+    table = order[pos]
+    return table, counts
+
+
+def bin_gaussians_sort(
     proj: ProjectedGaussians,
     image_size: Tuple[int, int],
     max_per_tile: int,
@@ -108,6 +177,13 @@ def bin_gaussians(
     idx = jnp.clip(idx, 0, sorted_gauss.shape[0] - 1)
     table = sorted_gauss[idx]  # [T, K]; entries >= counts are garbage (masked)
     return table, counts
+
+
+# the counting path is the default binning (see bin_gaussians_count); the
+# key-sort path stays importable for A/B benching and as the fallback if a
+# future image size made T large enough for the [T, G] cumsum working set
+# to lose to the G*M key sort
+bin_gaussians = bin_gaussians_count
 
 
 def _raster_kernel(

@@ -125,3 +125,39 @@ def test_truncation_drops_farthest():
     np.testing.assert_allclose(
         np.asarray(full[0, 8, 64]), np.asarray(trunc[0, 8, 64]), atol=1e-2
     )
+
+
+def test_binning_count_matches_sort():
+    """The sort-free counting binning (bin_gaussians_count) must produce
+    byte-identical tables/counts to the key-sort path it replaced, including
+    duplicate depths (stable order), culled gaussians (radius 0), and
+    footprints clamped by the slot grid."""
+    from siu3r_tpu.render.projection import project_gaussians
+    from siu3r_tpu.render.rasterizer import (
+        bin_gaussians_count,
+        bin_gaussians_sort,
+    )
+
+    h, w = 64, 256  # 4x2 tile grid at 16x128 tiles
+    viewmat, intr = cam(h, w)
+    for seed, g, scale in [(0, 512, 0.1), (1, 2048, 0.4), (2, 256, 1.5)]:
+        means, covs, opac, _ = make_scene(
+            g, jax.random.PRNGKey(seed), spread=3.0, scale=scale
+        )
+        if seed == 1:
+            # force depth ties (stable-order check)
+            means = means.at[:, 2].set(jnp.round(means[:, 2] * 2) / 2)
+        proj = project_gaussians(
+            means, covs, viewmat[0], intr[0], (h, w), 0.2, 1000.0
+        )
+        for k_cap in (128, 512):
+            t_sort, c_sort = bin_gaussians_sort(proj, (h, w), k_cap, 4, 2)
+            t_cnt, c_cnt = bin_gaussians_count(proj, (h, w), k_cap, 4, 2)
+            np.testing.assert_array_equal(np.asarray(c_sort), np.asarray(c_cnt))
+            ts, tc = np.asarray(t_sort), np.asarray(t_cnt)
+            cs = np.asarray(c_sort)
+            for t in range(ts.shape[0]):
+                np.testing.assert_array_equal(
+                    ts[t, : cs[t]], tc[t, : cs[t]],
+                    err_msg=f"seed={seed} k={k_cap} tile={t}",
+                )
