@@ -89,3 +89,26 @@ def test_refer_seg_forward(model_and_params):
     out = model.apply(variables, images, intr, word_embeddings=words)
     assert out.seg.word_logits.shape == (1, 6, cfg.mask2former.num_queries)
     assert bool(jnp.isfinite(out.seg.word_logits).all())
+
+
+def test_bfloat16_compute_path(model_and_params):
+    """model.dtype='bfloat16' (fp32 params, bf16 matmuls — the MXU-native
+    mode) stays finite and tracks the fp32 forward: gaussian means within
+    bf16 tolerance and segmentation labels mostly identical."""
+    import dataclasses
+
+    cfg, model, variables, images, intr = model_and_params
+    cfg16 = dataclasses.replace(tiny_model_cfg(), dtype="bfloat16")
+    model16 = SIU3RModel(cfg16)
+    out32 = jax.jit(model.apply)(variables, images, intr)
+    out16 = jax.jit(model16.apply)(variables, images, intr)
+    m32 = np.asarray(out32.gaussians.means)
+    m16 = np.asarray(out16.gaussians.means)
+    assert np.isfinite(m16).all()
+    scale = np.abs(m32).mean() + 1e-6
+    assert np.abs(m32 - m16).mean() / scale < 0.05, (
+        np.abs(m32 - m16).mean() / scale
+    )
+    s32 = np.asarray(out32.post["segmentation"])
+    s16 = np.asarray(out16.post["segmentation"])
+    assert (s32 == s16).mean() > 0.9, (s32 == s16).mean()
