@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--train", type=int, default=0)
     ap.add_argument("--train-views", type=int, default=0)
     ap.add_argument("--evalstep", type=int, default=0)
+    ap.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="model compute dtype (params stay fp32)",
+    )
     opts = ap.parse_args()
 
     import os
@@ -67,6 +71,16 @@ def main():
     from siu3r_tpu.models.model import SIU3RModel
 
     root = bind_scannet_classes(RootCfg())
+    if opts.dtype != "float32":
+        import dataclasses as _dc
+
+        root = _dc.replace(
+            root,
+            pipeline=_dc.replace(
+                root.pipeline,
+                model=_dc.replace(root.pipeline.model, dtype=opts.dtype),
+            ),
+        )
     cfg = root.pipeline.model
     model = SIU3RModel(cfg)
 
@@ -126,6 +140,8 @@ def main():
         "unit": "passes/sec",
         "vs_baseline": round(passes_per_sec / 10.0, 3),
     }
+    if opts.dtype != "float32":
+        result["dtype"] = opts.dtype
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
         result["gflops_per_pass"] = round(flops / 1e9, 1)

@@ -18,6 +18,7 @@ run() {
 TMO=3600
 run ab_binning python tools/ab_binning.py
 run bench_default python bench.py
+run bench_bf16 python bench.py --dtype bfloat16
 run bench_batch4 python bench.py --batch 4
 run bench_batch8 python bench.py --batch 8
 run bench_evalstep1 python bench.py --evalstep 1
