@@ -336,7 +336,20 @@ def main():
         for i in range(n_tgt):
             exts[i, 0, 3] = 0.1 * i
         o = 48
+        # view ids follow the datamodule convention (datasets.py:145-152):
+        # extra target views sorted BETWEEN the context ids — so the step
+        # compiles the real per-item context-depth gather, not the
+        # synthetic-batch fallback
+        tgt_ids = np.arange(n_tgt, dtype=np.int32) * 10
+        ctx_pos = np.round(np.linspace(0, n_tgt - 1, vv)).astype(np.int32)
+        ctx_ids = tgt_ids[ctx_pos]
         tbatch = {
+            "context_views_id": jnp.asarray(
+                np.broadcast_to(ctx_ids, (bb, vv)).copy()
+            ),
+            "target_views_id": jnp.asarray(
+                np.broadcast_to(tgt_ids, (bb, n_tgt)).copy()
+            ),
             "context_views_images": jnp.asarray(
                 rng.rand(bb, vv, h, w, 3), jnp.float32
             ),

@@ -116,7 +116,7 @@ class OptimizerCfg:
     """reference src/config.py:26-29 + pipeline.py:366-423 group multipliers"""
 
     lr: float = 1e-4
-    warm_up_epochs: int = 2
+    warm_up_epochs: int = 3  # reference configs/main.yaml:26
     weight_decay: float = 0.05
     betas: tuple[float, float] = (0.9, 0.95)
     gaussian_head_lr_mult: float = 5.0
@@ -130,7 +130,7 @@ class TrainerCfg:
     max_steps: int = -1  # Lightning Trainer(max_steps): -1 = unlimited
     devices: int = 8
     accumulate_grad_batches: int = 1
-    gradient_clip_val: float = 0.5
+    gradient_clip_val: float = 1.0  # reference configs/main.yaml:19
     check_val_every_n_epoch: int = 100
     log_every_n_steps: int = 10
     precision: str = "32"

@@ -188,12 +188,32 @@ class Pipeline:
         losses["seg"] = seg_losses["seg_total"]
         loss = pcfg.weight_seg_loss * losses["seg"]
 
-        # depth smoothness on the context views (the first V target views by
-        # datamodule convention — reference context_in_target_ids)
+        # depth smoothness on the CONTEXT views' rendered depths. The
+        # datamodule sorts extra target views BETWEEN the context pair
+        # (datasets.py:145-152), so the context views are NOT the first V
+        # targets — per batch item we locate each context id inside the
+        # target list and gather exactly those rendered depths (the
+        # reference's context_in_target_ids, src/pipeline.py:223-245),
+        # computed on-device from the id arrays (static shapes, jit-safe).
         v = images.shape[1]
-        ctx_depth = render.depth[:, :v]
+        if "context_views_id" in batch and "target_views_id" in batch:
+            ctx_ids = jnp.asarray(batch["context_views_id"])  # [B, V]
+            tgt_ids = jnp.asarray(batch["target_views_id"])  # [B, N]
+            ctx_pos = jnp.argmax(
+                ctx_ids[:, :, None] == tgt_ids[:, None, :], axis=-1
+            )  # [B, V]
+            ctx_depth = jnp.take_along_axis(
+                render.depth, ctx_pos[:, :, None, None], axis=1
+            )
+        else:
+            # synthetic batches without view ids (tests/bench/dryrun): fall
+            # back to the first V targets
+            ctx_depth = render.depth[:, :v]
         seg_mask = out.post["segmentation"]
-        losses["depth_smoothness"] = depth_smoothness_loss(ctx_depth, seg_mask)
+        losses["depth_smoothness"] = depth_smoothness_loss(
+            ctx_depth, seg_mask,
+            instance_masked=pcfg.enable_instance_depth_smoothness,
+        )
         loss = loss + pcfg.weight_depth_smoothness * losses["depth_smoothness"]
 
         target_images = batch["target_views_images"]

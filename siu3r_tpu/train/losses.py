@@ -316,13 +316,21 @@ def segmentation_loss(
     return losses
 
 
-def depth_smoothness_loss(depth: jax.Array, seg_mask: jax.Array) -> jax.Array:
+def depth_smoothness_loss(
+    depth: jax.Array, seg_mask: jax.Array, instance_masked: bool = True
+) -> jax.Array:
     """Instance-masked depth smoothness (reference pipeline.py:242-265).
 
     depth [B, N, H, W] rendered depth at context views; seg_mask [B, N, H, W]
-    segment ids (-1 = invalid fill)."""
+    segment ids (-1 = invalid fill). ``instance_masked=False`` drops the
+    segment gating and penalizes all depth gradients — the
+    ``enable_instance_depth_smoothness`` config toggle (the reference
+    DECLARES that flag, config.py:117, but never reads it; we wire it as the
+    name says: it gates the instance masking)."""
     depth_dx = jnp.diff(depth, axis=-1)
     depth_dy = jnp.diff(depth, axis=-2)
+    if not instance_masked:
+        return jnp.abs(depth_dx).mean() + jnp.abs(depth_dy).mean()
     same_x = jnp.diff(seg_mask, axis=-1) == 0
     same_x &= seg_mask[..., :, 1:] != -1
     same_y = jnp.diff(seg_mask, axis=-2) == 0

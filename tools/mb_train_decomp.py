@@ -29,7 +29,11 @@ intr = np.array([[318/256.0, 0, 0.5], [0, 318/256.0, 0.5], [0, 0, 1]], np.float3
 exts = np.stack([np.eye(4, dtype=np.float32)] * NT)
 for i in range(NT):
     exts[i, 0, 3] = 0.1 * i
+tgt_ids = np.arange(NT, dtype=np.int32) * 10
+ctx_ids = tgt_ids[np.round(np.linspace(0, NT - 1, V)).astype(np.int32)]
 batch = {
+    "context_views_id": jnp.asarray(np.broadcast_to(ctx_ids, (B, V)).copy()),
+    "target_views_id": jnp.asarray(np.broadcast_to(tgt_ids, (B, NT)).copy()),
     "context_views_images": jnp.asarray(rng.rand(B, V, H, W, 3), jnp.float32),
     "context_views_intrinsics": jnp.asarray(np.broadcast_to(intr, (B, V, 3, 3)).copy()),
     "target_views_images": jnp.asarray(rng.rand(B, NT, H, W, 3), jnp.float32),

@@ -65,7 +65,15 @@ def main():
         for i in range(n_tgt):
             exts[i, 0, 3] = 0.1 * i
         o = 48
+        tgt_ids = np.arange(n_tgt, dtype=np.int32) * 10
+        ctx_ids = tgt_ids[np.round(np.linspace(0, n_tgt - 1, v)).astype(np.int32)]
         batch = {
+            "context_views_id": jnp.asarray(
+                np.broadcast_to(ctx_ids, (bb, v)).copy()
+            ),
+            "target_views_id": jnp.asarray(
+                np.broadcast_to(tgt_ids, (bb, n_tgt)).copy()
+            ),
             "context_views_images": jnp.asarray(
                 rng.rand(bb, v, h, w, 3), jnp.float32
             ),
