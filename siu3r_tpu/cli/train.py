@@ -134,6 +134,52 @@ def main(argv=None):
         cfg.trainer.max_epochs, steps_per_epoch,
     )
 
+    # training-time periodic visualization (reference src/pipeline.py:271-280
+    # writes visualizer outputs every log_training_result_interval steps):
+    # rerun the jitted eval step on the current train batch and write
+    # rendered-vs-GT rgb/depth + seg overlays under out_dir/train_viz/.
+    # The eval step is built lazily — one extra compile, paid only if the
+    # interval is enabled and training reaches it.
+    viz_interval = cfg.pipeline.log_training_result_interval
+    _viz_ctx = {}
+
+    def write_train_viz(batch, num_batch, step):
+        from siu3r_tpu.visualizer import Visualizer
+
+        if "viz" not in _viz_ctx:
+            _viz_ctx["viz"] = Visualizer(cfg.pipeline.visualizer)
+            _viz_ctx["eval_step"] = (
+                pipe.make_dp_eval_step(mesh)
+                if mesh.size > 1
+                else pipe.make_eval_step()
+            )
+        viz, eval_step = _viz_ctx["viz"], _viz_ctx["eval_step"]
+        eval_state = TrainState(
+            params=state.params, batch_stats=state.batch_stats,
+            opt_state=None, step=state.step,
+        )
+        out, render, _ = eval_step(eval_state, num_batch)
+        save_dir = out_dir / "train_viz" / f"step{step:07d}"
+        scenes = batch.get("scene_names")
+        bsz = batch["context_views_images"].shape[0]
+        for bi in range(bsz):
+            viz.add_scene(
+                str(save_dir),
+                scenes[bi] if scenes is not None else f"item{bi}",
+                list(map(int, batch["context_views_id"][bi])),
+                list(map(int, batch["target_views_id"][bi])),
+                np.asarray(render.color[bi]),
+                np.asarray(batch["target_views_images"][bi]),
+                render_depth=np.asarray(render.depth[bi]),
+                context_images=np.asarray(batch["context_views_images"][bi]),
+                context_seg_map=np.asarray(out.post["segmentation"][bi]),
+                gt_masks=np.asarray(batch["gt_masks"][bi]),
+                gt_classes=np.asarray(batch["gt_classes"][bi]),
+                gt_valid=np.asarray(batch["gt_valid"][bi]),
+            )
+        viz.write_files()
+        log.info(f"wrote training visualization: {save_dir}")
+
     # per-step rng = fold_in(base, global_step): a resumed run continues the
     # random stream (matcher/point-sampling draws) instead of replaying the
     # draws already consumed before the checkpoint
@@ -146,9 +192,13 @@ def main(argv=None):
             if max_steps >= 0 and global_step >= max_steps:
                 break
             step_rng = jax.random.fold_in(base_rng, global_step)
-            state, losses = step_fn(
-                state, shard_batch(numeric(batch), mesh), step_rng
-            )
+            num_batch = shard_batch(numeric(batch), mesh)
+            state, losses = step_fn(state, num_batch, step_rng)
+            if viz_interval > 0 and global_step % viz_interval == 0:
+                try:
+                    write_train_viz(batch, num_batch, global_step)
+                except Exception as e:  # noqa: BLE001 - viz must never kill training
+                    log.warning(f"train viz failed at step {global_step}: {e}")
             if global_step % cfg.trainer.log_every_n_steps == 0:
                 vals = {k: float(v) for k, v in losses.items() if "_" not in k or k in ("render_mse", "depth_smoothness", "seg", "lpips", "total", "word_match")}
                 log.info(f"epoch {epoch} step {global_step}: " + json.dumps(vals))

@@ -47,6 +47,9 @@ def fake_root(tmp_path_factory):
 
 
 TINY_OVERRIDES = [
+    # off by default in smoke tests (step 0 % interval == 0 would fire it
+    # everywhere); test_train_cli_smoke re-enables it and asserts the output
+    "pipeline.log_training_result_interval=0",
     "trainer.max_epochs=1",
     "trainer.devices=1",
     "trainer.check_val_every_n_epoch=1",
@@ -165,10 +168,18 @@ def test_train_cli_smoke(fake_root, tmp_path, monkeypatch):
             f"datamodule.dataset_cfg.root={fake_root}",
             f"output_path={out}",
             *TINY_OVERRIDES,
+            # training-time periodic visualization (reference
+            # src/pipeline.py:271-280): fire at step 0 and assert the files
+            "pipeline.log_training_result_interval=1",
         ]
     )
     ckpts = list((out / "checkpoints").iterdir())
     assert ckpts, "no checkpoint written"
+    viz_pngs = list((out / "train_viz").rglob("*.png"))
+    assert viz_pngs, "training visualization wrote no images"
+    # rendered rgb + gt rgb + depth per target view at minimum
+    names = {p.parent.name for p in viz_pngs}
+    assert {"rgb", "rgb_gt", "depth"} <= names, f"missing viz subdirs: {names}"
 
 
 @pytest.mark.slow

@@ -3,6 +3,8 @@
 Throughput-timed (N dispatches, one sync — per-call sync measures the axon
 tunnel). Also times the full rasterize() with each binning to capture the
 end-to-end effect."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 import time

@@ -1,4 +1,6 @@
 """Microbench: criterion fwd + grad standalone on TPU at B=3 real shapes."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, sys
 import jax, jax.numpy as jnp
 

@@ -3,6 +3,8 @@
 Same shapes as bench.py --train 3 (reference config: 2 context views,
 4 target views = context + num_extra_target_views 2, O=48, 15 valid).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, sys
 import numpy as np
 import jax, jax.numpy as jnp

@@ -9,8 +9,10 @@ Modes:
 Writes the trace under /tmp/siu3r_trace_<mode>/ and prints the attribution
 tables. Shapes match bench.py exactly (reference configs/main.yaml).
 """
-
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 import time

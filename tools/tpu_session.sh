@@ -6,6 +6,8 @@ set -u
 LOGDIR=${LOGDIR:-/tmp/tpu_bench_logs}
 mkdir -p "$LOGDIR"
 cd /root/repo
+# `python tools/x.py` puts tools/ on sys.path, not the repo root
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 
 run() {
   name=$1; shift
