@@ -1,5 +1,8 @@
 from siu3r_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
     create_mesh,
-    shard_batch,
+    initialize_distributed,
     replicate,
+    replicated,
+    shard_batch,
 )
