@@ -390,6 +390,17 @@ def main():
             file=sys.stderr,
         )
         result[f"train_b{bb}_v{vv}_ms_per_step"] = round(dt_t * 1000, 1)
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            peak = ms.get("peak_bytes_in_use")
+            if peak:
+                print(
+                    f"[bench] {label}: peak HBM {peak / 2**30:.2f} GiB",
+                    file=sys.stderr,
+                )
+                result[f"train_b{bb}_v{vv}_peak_hbm_gib"] = round(peak / 2**30, 2)
+        except Exception:
+            pass
 
     print(json.dumps(result))
 

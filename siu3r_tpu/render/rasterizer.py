@@ -334,6 +334,207 @@ def _tiles_jnp(counts, row0, col0, params, colors):
     return jax.vmap(one_tile)(counts, row0, col0, params, colors)
 
 
+def _raster_bwd_kernel(
+    counts_ref,
+    row0_ref,
+    col0_ref,
+    params_ref,  # [1, K, 8]
+    colors_ref,  # [1, K, C]
+    gcolor_ref,  # [1, C, TH, TW] cotangent of color_out
+    gaux_ref,  # [1, 8, TH, TW] cotangent of aux_out (0=depth, 1=alpha)
+    dparams_out,  # [1, K, 8]
+    dcolors_out,  # [1, K, C]
+    tin_scratch,  # [K/_CHUNK, npix] chunk-entry transmittances
+    *,
+    k_cap: int,
+    n_channels: int,
+):
+    """Analytic backward of :func:`_raster_kernel` — the 3DGS backward
+    recurrence (suffix-sum over later gaussians' weighted cotangents)
+    expressed in the same chunked GEMM form as the forward:
+
+      dL/dalpha_i = T_i * r_i - (S_i + T_N * gT_N) / (1 - alpha_i),
+      r_i(p) = c_i . gC(p) + depth_i * gD(p),   S_i = sum_{j>i} w_j r_j.
+
+    Phase 1 re-runs the forward transmittance sweep (cheap: no color
+    matmuls) storing each chunk's entry transmittance in VMEM scratch and
+    stopping at the SAME whole-tile saturation point as the forward; phase 2
+    walks the active chunks in reverse, carrying the cross-chunk suffix
+    S_carry and emitting per-gaussian param/color gradients. Chunks past
+    saturation have T <= 1e-4 and gradients at that scale — skipped, exactly
+    mirroring the forward's early-exit truncation. This replaces
+    differentiating the jnp twin, which recomputes and back-propagates ALL
+    K/_CHUNK chunks per tile regardless of occupancy or saturation."""
+    npix = TILE_H * TILE_W
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    row0 = row0_ref[t].astype(jnp.float32)
+    col0 = col0_ref[t].astype(jnp.float32)
+
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    px = col0 + (p % TILE_W).astype(jnp.float32)
+    py = row0 + (p // TILE_W).astype(jnp.float32)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1)
+    tril = (jj < ii).astype(jnp.float32)  # strictly lower: within-chunk T
+    triu = (jj > ii).astype(jnp.float32)  # strictly upper: within-chunk S
+
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+
+    gc = gcolor_ref[0].reshape(n_channels, npix)
+    gd = gaux_ref[0, 0].reshape(1, npix)
+    gtn = -gaux_ref[0, 1].reshape(1, npix)  # aux[1] = 1 - T_N
+
+    dparams_out[0] = jnp.zeros((k_cap, 8), jnp.float32)
+    dcolors_out[0] = jnp.zeros((k_cap, n_channels), jnp.float32)
+
+    def alpha_of(base):
+        prm = params_ref[0, pl.ds(base, _CHUNK), :]
+        mx, my = prm[:, 0:1], prm[:, 1:2]
+        ca, cb, cc = prm[:, 2:3], prm[:, 3:4], prm[:, 4:5]
+        op = prm[:, 5:6]
+        dx = px - mx
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw = op * jnp.exp(power)
+        live = (raw >= _ALPHA_MIN) & (base + k_ids < count)
+        alpha = jnp.where(live, jnp.minimum(raw, _ALPHA_MAX), 0.0)
+        grad_mask = live & (raw < _ALPHA_MAX)
+        return prm, dx, dy, power, raw, alpha, grad_mask
+
+    # ---- phase 1: forward transmittance sweep into scratch ----
+    def f_body(state):
+        ci, trans = state
+        tin_scratch[pl.ds(ci, 1)] = trans
+        base = pl.multiple_of(ci * _CHUNK, _CHUNK)
+        *_unused, alpha, _gm = alpha_of(base)
+        logs = jnp.log1p(-alpha)
+        trans = trans * jnp.exp(jnp.sum(logs, axis=0, keepdims=True))
+        return ci + 1, trans
+
+    def f_cond(state):
+        ci, trans = state
+        return (ci * _CHUNK < count) & (jnp.max(trans) > _T_EPS)
+
+    n_active, trans_final = jax.lax.while_loop(
+        f_cond, f_body, (jnp.int32(0), jnp.ones((1, npix), jnp.float32))
+    )
+    tn_gtn = trans_final * gtn  # [1, npix]
+
+    # ---- phase 2: reverse sweep with cross-chunk suffix carry ----
+    def b_body(state):
+        i, s_carry = state
+        ci = i - 1
+        base = pl.multiple_of(ci * _CHUNK, _CHUNK)
+        prm, dx, dy, power, raw, alpha, grad_mask = alpha_of(base)
+        col = colors_ref[0, pl.ds(base, _CHUNK), :]  # [CHUNK, C]
+        dpt = prm[:, 6:7]
+        logs = jnp.log1p(-alpha)
+        cum_excl = jax.lax.dot_general(
+            tril, logs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t_i = tin_scratch[pl.ds(ci, 1)] * jnp.exp(cum_excl)  # [CHUNK, npix]
+        w = alpha * t_i
+        r = jax.lax.dot_general(
+            col, gc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + dpt * gd  # [CHUNK, npix]
+        d_col = jax.lax.dot_general(
+            w, gc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [CHUNK, C]
+        d_dpt = jnp.sum(w * gd, axis=1, keepdims=True)
+        wr = w * r
+        s_i = jax.lax.dot_general(
+            triu, wr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + s_carry
+        d_alpha = t_i * r - (s_i + tn_gtn) / (1.0 - alpha)
+        d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
+        d_pw = d_alpha * raw  # d(power): raw = op * exp(power)
+        ca, cb, cc = prm[:, 2:3], prm[:, 3:4], prm[:, 4:5]
+        d_op = jnp.sum(d_alpha * jnp.exp(power), axis=1, keepdims=True)
+        d_ca = jnp.sum(d_pw * (-0.5) * dx * dx, axis=1, keepdims=True)
+        d_cb = jnp.sum(d_pw * (-dx * dy), axis=1, keepdims=True)
+        d_cc = jnp.sum(d_pw * (-0.5) * dy * dy, axis=1, keepdims=True)
+        d_mx = jnp.sum(d_pw * (ca * dx + cb * dy), axis=1, keepdims=True)
+        d_my = jnp.sum(d_pw * (cc * dy + cb * dx), axis=1, keepdims=True)
+        dprm = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_dpt,
+             jnp.zeros((_CHUNK, 1), jnp.float32)],
+            axis=1,
+        )
+        dparams_out[0, pl.ds(base, _CHUNK), :] = dprm
+        dcolors_out[0, pl.ds(base, _CHUNK), :] = d_col
+        s_carry = s_carry + jnp.sum(wr, axis=0, keepdims=True)
+        return ci, s_carry
+
+    jax.lax.while_loop(
+        lambda s: s[0] > 0,
+        b_body,
+        (n_active, jnp.zeros((1, npix), jnp.float32)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_cap", "n_channels", "interpret")
+)
+def _tiles_backward(
+    counts, row0, col0, params, colors, gcolor, gaux,
+    *, k_cap, n_channels, interpret=False,
+):
+    nt = counts.shape[0]
+    npix = TILE_H * TILE_W
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, k_cap, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, k_cap, n_channels), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_channels, TILE_H, TILE_W),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, TILE_H, TILE_W),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k_cap, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, k_cap, n_channels), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((k_cap // _CHUNK, npix), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_raster_bwd_kernel, k_cap=k_cap, n_channels=n_channels),
+        grid_spec=grid_spec,
+        interpret=interpret or jax.default_backend() != "tpu",
+        # the reverse-sweep body keeps ~15 live [CHUNK, npix] f32 temporaries
+        # (~16.25 MB) — just over Mosaic's 16 MB default scoped-vmem budget.
+        # v5e/v5p cores have 128 MB VMEM; 48 MB leaves double-buffered block
+        # headroom while admitting the body without spills.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, k_cap, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nt, k_cap, n_channels), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=nt * k_cap * TILE_H * TILE_W * 40,
+            bytes_accessed=2 * (params.size + colors.size) * 4,
+            transcendentals=nt * k_cap * TILE_H * TILE_W * 2,
+        ),
+    )(counts, row0, col0, params, colors, gcolor, gaux)
+
+
 def _tiles_forward(counts, row0, col0, params, colors):
     """Backend dispatch: the Pallas kernel on TPU; the jnp twin elsewhere
     (Pallas interpret mode is orders of magnitude slower on CPU — slow
@@ -358,13 +559,26 @@ def _rtd_fwd(counts, row0, col0, params, colors):
 
 
 def _rtd_bwd(residuals, cotangents):
+    import os
+
     counts, row0, col0, params, colors = residuals
-    # differentiate the jnp twin — same math as the kernel (the kernel's
-    # whole-tile early exit only skips contributions below _T_EPS)
-    _, vjp = jax.vjp(
-        lambda prm, col: _tiles_jnp(counts, row0, col0, prm, col), params, colors
-    )
-    d_params, d_colors = vjp(cotangents)
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("SIU3R_RASTER_BWD", "pallas") != "jnp"
+    ):
+        # analytic Pallas backward: saturation-aware reverse chunk sweep
+        d_params, d_colors = _tiles_backward(
+            counts, row0, col0, params, colors, *cotangents,
+            k_cap=params.shape[1], n_channels=colors.shape[-1],
+        )
+    else:
+        # differentiate the jnp twin — same math as the kernel (the kernel's
+        # whole-tile early exit only skips contributions below _T_EPS)
+        _, vjp = jax.vjp(
+            lambda prm, col: _tiles_jnp(counts, row0, col0, prm, col),
+            params, colors,
+        )
+        d_params, d_colors = vjp(cotangents)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return f0(counts), f0(row0), f0(col0), d_params, d_colors
 
