@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--train-views", type=int, default=0)
     ap.add_argument("--evalstep", type=int, default=0)
     ap.add_argument(
+        "--memcheck", action="store_true",
+        help="with --train/--train-views: AOT-compile and print XLA memory "
+        "analysis instead of executing",
+    )
+    ap.add_argument(
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="model compute dtype (params stay fp32)",
     )
@@ -375,6 +380,24 @@ def main():
         }
         state = pipe.init_state(jax.random.PRNGKey(0), tbatch)
         step = pipe.make_train_step()
+        if opts.memcheck:
+            # AOT-compile only: report XLA's planned HBM footprint without
+            # executing (diagnoses runtime OOMs; compare backward variants
+            # via SIU3R_RASTER_BWD=jnp|pallas)
+            compiled = step.lower(state, tbatch, jax.random.PRNGKey(1)).compile()
+            ma = compiled.memory_analysis()
+            for k in (
+                "argument_size_in_bytes",
+                "output_size_in_bytes",
+                "temp_size_in_bytes",
+                "generated_code_size_in_bytes",
+            ):
+                vb = getattr(ma, k, None)
+                if vb is not None:
+                    print(f"[memcheck] {k}: {vb / 2**30:.3f} GiB", file=sys.stderr)
+                    result[f"memcheck_{k}"] = round(vb / 2**30, 3)
+            print(json.dumps(result))
+            return
         state, losses = step(state, tbatch, jax.random.PRNGKey(1))
         jax.block_until_ready(losses)
         t0 = time.time()

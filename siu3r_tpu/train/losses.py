@@ -85,6 +85,7 @@ def _mask_losses_item(
     importance: float,
     pre_coords=None,  # [O*V, n_sampled, 2] injected (parity tests)
     extra_coords=None,  # [O*V, n_random, 2]
+    row_chunk: int = 16,
 ):
     """Returns (ce_sum, dice_sum) over this item's matched (gt, view) rows
     — reference loss_masks (:343-409) treats each matched (mask, frame) as a
@@ -134,7 +135,26 @@ def _mask_losses_item(
             rows_pred, rows_tgt, rngs, pre_coords, extra_coords
         )
     else:
-        ce, dice = jax.vmap(per_row)(rows_pred, rows_tgt, rngs)
+        # chunk the row sweep: one flat vmap over all O*V rows makes the
+        # VJP transpose the separable point-sampling for EVERY row at once —
+        # a [B, O*V, P, W] temp (3.45 GiB at the B=3 training shape, the
+        # largest allocation in the step and the round-4 HBM-OOM culprit
+        # once the Pallas rasterizer backward landed). lax.map over chunks
+        # of 16 rows keeps that temp at chunk size (~58 MiB per item) while
+        # each chunk still carries 16x12544 points of parallel work.
+        n_rows = o * v
+        if n_rows % row_chunk:
+            row_chunk = n_rows
+        ce, dice = jax.lax.map(
+            lambda args: jax.vmap(per_row)(*args),
+            (
+                rows_pred.reshape(-1, row_chunk, *rows_pred.shape[1:]),
+                rows_tgt.reshape(-1, row_chunk, *rows_tgt.shape[1:]),
+                rngs.reshape(-1, row_chunk, *rngs.shape[1:]),
+            ),
+        )
+        ce = ce.reshape(n_rows)
+        dice = dice.reshape(n_rows)
     ce = jnp.where(rows_valid, ce, 0.0).sum()
     dice = jnp.where(rows_valid, dice, 0.0).sum()
     return ce, dice

@@ -77,7 +77,25 @@ def sample_mask_points(
         return out.reshape(n, v, -1)
     imgs = masks.reshape(n * v, h, w, 1)
     grid = jnp.broadcast_to(2.0 * coords - 1.0, (n * v,) + coords.shape)
-    out = grid_sample_separable(imgs, grid, precision=precision)  # [N*V, P, 1]
+    # chunk the row sweep: the separable sampler's one-hot row matrix is
+    # [rows, P, H] — materialized for ALL N*V rows at once it is the largest
+    # allocation in the train step (4.59 GiB at the V=8 reference shape,
+    # 384 rows x 12544 pts x 256 — the round-4 HBM OOM). lax.map over
+    # 16-row chunks caps it at ~200 MiB; the sampling is a no-grad batched
+    # matmul, so 24 sequential chunks cost ~no wall-clock (MXU-bound,
+    # ~0.1 ms/chunk).
+    nb = n * v
+    chunk = 16 if nb % 16 == 0 else nb
+    if chunk < nb:
+        out = jax.lax.map(
+            lambda a: grid_sample_separable(a[0], a[1], precision=precision),
+            (
+                imgs.reshape(nb // chunk, chunk, h, w, 1),
+                grid.reshape(nb // chunk, chunk, -1, 2),
+            ),
+        ).reshape(nb, -1, 1)
+    else:
+        out = grid_sample_separable(imgs, grid, precision=precision)  # [N*V, P, 1]
     return out.reshape(n, v, -1)
 
 

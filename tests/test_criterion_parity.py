@@ -174,3 +174,30 @@ def test_criterion_parity(ref_loss, seed, monkeypatch):
         float(ours["loss_dice"]), float(ref_out["loss_dice"]),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_chunked_rows_match_flat_vmap():
+    """The lax.map row-chunking in the training path (HBM-OOM fix: keeps
+    the VJP's transposed point-sampling temp at chunk granularity) must be
+    value-identical to the flat vmap — rows are independent and the rng
+    split order is unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from siu3r_tpu.train.losses import _mask_losses_item
+
+    rng = np.random.RandomState(0)
+    o, v, q, h, w = 16, 2, 8, 16, 16  # o*v=32 -> two chunks of 16
+    mask_logits = jnp.asarray(rng.randn(q, v, h, w).astype(np.float32))
+    gt_masks = jnp.asarray((rng.rand(o, v, h, w) > 0.6).astype(np.float32))
+    assignment = jnp.asarray(rng.randint(-1, q, (o,)), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    kw = dict(num_points=16, oversample=2.0, importance=0.75)
+    ce_c, dice_c = _mask_losses_item(
+        mask_logits, gt_masks, assignment, key, row_chunk=16, **kw
+    )
+    ce_f, dice_f = _mask_losses_item(
+        mask_logits, gt_masks, assignment, key, row_chunk=o * v, **kw
+    )
+    np.testing.assert_allclose(np.asarray(ce_c), np.asarray(ce_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dice_c), np.asarray(dice_f), rtol=1e-6)
