@@ -562,9 +562,16 @@ def _rtd_bwd(residuals, cotangents):
     import os
 
     counts, row0, col0, params, colors = residuals
+    # Default is the differentiated jnp twin: the Pallas analytic backward
+    # is gradcheck-validated standalone (tools/mb_raster_bwd.py, max rel err
+    # <= 1.6e-5, 2.7x faster grad) but inside the FULL vmapped train step it
+    # currently hits a TPU runtime fault (UNAVAILABLE, round-4 drive of
+    # `bench.py --train 3`) — suspect the pallas_call vmap lowering with
+    # scalar prefetch + scratch. Opt in with SIU3R_RASTER_BWD=pallas for
+    # unbatched/microbench use until the in-step fault is root-caused.
     if (
         jax.default_backend() == "tpu"
-        and os.environ.get("SIU3R_RASTER_BWD", "pallas") != "jnp"
+        and os.environ.get("SIU3R_RASTER_BWD", "jnp") == "pallas"
     ):
         # analytic Pallas backward: saturation-aware reverse chunk sweep
         d_params, d_colors = _tiles_backward(
