@@ -564,11 +564,15 @@ def _rtd_bwd(residuals, cotangents):
     counts, row0, col0, params, colors = residuals
     # Default is the differentiated jnp twin: the Pallas analytic backward
     # is gradcheck-validated standalone (tools/mb_raster_bwd.py, max rel err
-    # <= 1.6e-5, 2.7x faster grad) but inside the FULL vmapped train step it
-    # currently hits a TPU runtime fault (UNAVAILABLE, round-4 drive of
-    # `bench.py --train 3`) — suspect the pallas_call vmap lowering with
-    # scalar prefetch + scratch. Opt in with SIU3R_RASTER_BWD=pallas for
-    # unbatched/microbench use until the in-step fault is root-caused.
+    # <= 1.6e-5, 2.7x faster grad) but inside the FULL jitted train step it
+    # hits a TPU runtime fault (UNAVAILABLE, round-4 drives of
+    # `bench.py --train 3`). Ruled out: vmap lowering (faults identically
+    # with lax.map-unbatched kernel calls; semantics also pass vmapped in
+    # interpret mode, tests/test_raster_bwd_vmap.py), k_cap mismatch (4096
+    # everywhere), kernel math (standalone on-chip gradcheck green).
+    # Remaining suspects: interaction with remat/donation or near-capacity
+    # HBM in the full step. Opt in with SIU3R_RASTER_BWD=pallas for
+    # unbatched/microbench use until root-caused.
     if (
         jax.default_backend() == "tpu"
         and os.environ.get("SIU3R_RASTER_BWD", "jnp") == "pallas"

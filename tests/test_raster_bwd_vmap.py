@@ -2,11 +2,11 @@
 
 The analytic Pallas backward is gradcheck-validated unbatched on-chip
 (tools/mb_raster_bwd.py) but faults at TPU runtime inside the full
-vmapped train step. This test runs the SAME vmapped configuration in
-Pallas interpret mode and checks it against per-item kernel calls: a
-pass means the kernel's math and its vmap batching semantics (batched
-scalar-prefetch operands, scratch, while_loop) are correct, isolating
-the in-step fault to the Mosaic TPU lowering of the vmapped call.
+train step (batched via vmap OR lax.map — so the fault is not the vmap
+lowering). This test checks the vmapped kernel in Pallas interpret mode
+against per-item kernel calls: a pass means the kernel's math and its
+vmap batching semantics (batched scalar-prefetch operands, scratch,
+while_loop) are correct, ruling those out as the in-step fault.
 Reference backward: /root/reference/submodules/diff-gaussian-rasterization
 (CUDA backward.cu); ours re-derives the suffix-sum recurrence for the
 chunked GEMM forward (render/rasterizer.py).
