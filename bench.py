@@ -19,10 +19,111 @@ Extra modes (numbers recorded in BASELINE.md):
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 V5E_BF16_PEAK = 197e12  # bf16 MXU peak FLOP/s, TPU v5e (1 chip)
+
+# Per-attempt wall-clock cap for the retry orchestrator. Cold-cache full-model
+# compiles through the axon remote-compile tunnel take minutes; a hang past
+# this is treated as a failed attempt (the driver runs bench.py exactly once
+# per round — BENCH_r0*.json `cmd` — so a hang would otherwise eat the round).
+_ATTEMPT_TIMEOUT_S = 3600
+
+
+def _orchestrate(argv):
+    """Run the actual measurement in a child process, retrying on failure.
+
+    Round-4 post-mortem (VERDICT r4 Weak #1): the driver's one-shot
+    `python bench.py` died at the FIRST warmup with a transient
+    "TPU backend error (Aborted)" and the round lost its perf record —
+    the same code ran green twice on re-run. Defense in depth:
+      attempt 1: child process as-is;
+      attempt 2: fresh child process (fresh TPU client = backend re-init);
+      attempt 3: fresh child process with the persistent compile cache
+                 DISABLED (a stale .jax_cache entry against a changed
+                 runtime is the other abort suspect).
+    The child prints the result JSON as its last stdout line; stderr passes
+    through. On total failure an {"error": ...} JSON is still emitted so the
+    driver's `parsed` field is never null.
+    """
+    attempts = [
+        {},
+        {},
+        {"SIU3R_BENCH_NO_CACHE": "1"},
+    ]
+    last_err = "unknown"
+    for i, extra_env in enumerate(attempts, 1):
+        env = dict(os.environ, **extra_env)
+        cmd = [sys.executable, os.path.abspath(__file__), "--no-retry"] + argv
+        try:
+            proc = subprocess.run(
+                cmd, env=env, stdout=subprocess.PIPE,
+                timeout=_ATTEMPT_TIMEOUT_S,
+            )
+            out = proc.stdout.decode(errors="replace")
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {i}: timed out after {_ATTEMPT_TIMEOUT_S}s"
+            print(f"[bench] {last_err}", file=sys.stderr)
+            continue
+        parsed = None
+        for line in reversed(out.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+                break
+        # accept any run that produced a result JSON: the inner process
+        # emits the headline measurement BEFORE optional modes, so a crash
+        # in an optional mode (rc != 0) cannot zero the headline record
+        if parsed is not None:
+            if i > 1:
+                parsed["retries"] = i - 1
+            if proc.returncode != 0:
+                parsed["partial_rc"] = proc.returncode
+                print(
+                    f"[bench] attempt {i}: headline ok but a later mode "
+                    f"failed (rc={proc.returncode})",
+                    file=sys.stderr,
+                )
+            print(json.dumps(parsed))
+            return 0
+        last_err = (
+            f"attempt {i}: rc={proc.returncode}, "
+            f"json={'ok' if parsed is not None else 'missing'}; "
+            f"tail: {out.strip().splitlines()[-1][:200] if out.strip() else ''}"
+        )
+        print(f"[bench] {last_err}", file=sys.stderr)
+    # all attempts failed: still emit a parseable record (never parsed=null)
+    print(
+        json.dumps(
+            {
+                "metric": "two_view_recon_seg_passes_per_sec",
+                "value": 0.0,
+                "unit": "passes/sec",
+                "vs_baseline": 0.0,
+                "error": last_err,
+            }
+        )
+    )
+    return 0
+
+
+def _maybe_inject_fault():
+    """Test hook: SIU3R_BENCH_FAULT_ONCE=<path> makes the FIRST child attempt
+    die (simulating the round-4 transient TPU abort); the sentinel file it
+    leaves behind lets the retry succeed. Exercised by
+    tests/test_bench_retry.py."""
+    sentinel = os.environ.get("SIU3R_BENCH_FAULT_ONCE")
+    if sentinel and not os.path.exists(sentinel):
+        with open(sentinel, "w"):
+            pass
+        print("[bench] injected fault (SIU3R_BENCH_FAULT_ONCE)", file=sys.stderr)
+        raise RuntimeError("injected TPU backend fault (test hook)")
 
 
 def _timed_scan(fn, args, K, reps=3):
@@ -39,6 +140,16 @@ def _timed_scan(fn, args, K, reps=3):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--no-retry", action="store_true",
+        help="run the measurement in-process (no retry orchestration); "
+        "the default invocation wraps this in a retrying child process",
+    )
+    ap.add_argument(
+        "--selftest", action="store_true",
+        help="skip all measurement; emit a trivial JSON (exercises the "
+        "retry wrapper without a TPU)",
+    )
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--multiview", type=int, default=0)
     ap.add_argument("--breakdown", action="store_true")
@@ -56,21 +167,42 @@ def main():
     )
     opts = ap.parse_args()
 
-    import os
+    if not opts.no_retry:
+        argv = [a for a in sys.argv[1:] if a != "--no-retry"]
+        sys.exit(_orchestrate(argv))
+
+    _maybe_inject_fault()
+
+    if opts.selftest:
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_selftest",
+                    "value": 1.0,
+                    "unit": "ok",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+        return
 
     import jax
     import jax.numpy as jnp
 
     # persistent compile cache: full-model/train-step compiles are minutes
-    # through the axon remote-compile tunnel; warm reruns start in seconds
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    # through the axon remote-compile tunnel; warm reruns start in seconds.
+    # SIU3R_BENCH_NO_CACHE (set by the retry orchestrator's last attempt)
+    # skips it — a stale cache entry against a changed runtime is one
+    # suspect for the round-4 transient abort.
+    if not os.environ.get("SIU3R_BENCH_NO_CACHE"):
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        except Exception:
+            pass
 
     from siu3r_tpu.config import RootCfg, bind_scannet_classes
     from siu3r_tpu.models.model import SIU3RModel
@@ -150,6 +282,11 @@ def main():
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
         result["gflops_per_pass"] = round(flops / 1e9, 1)
+
+    # emit the headline record NOW: if any optional mode below crashes the
+    # process, the retry orchestrator still finds and reports this line
+    print(json.dumps(result))
+    sys.stdout.flush()
 
     if opts.batch:
         bb = opts.batch

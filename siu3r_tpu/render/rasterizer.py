@@ -670,6 +670,11 @@ def rasterize_multi(
     per-camera (e.g. SH evaluated per view); viewmats [ncam, 4, 4]
     world-to-camera; intrinsics_px [ncam, 3, 3].
 
+    Backward selection: SIU3R_RASTER_BWD (jnp|pallas) is read from the
+    environment at TRACE time inside the custom VJP (_rtd_bwd) — it is
+    baked into jit caches, so flipping it mid-process has no effect on
+    already-compiled functions; set it before the first trace.
+
     Returns (list of color [ncam, H, W, C_i] — NO background blended —
     depth [ncam, H, W], alpha [ncam, H, W]).
     """

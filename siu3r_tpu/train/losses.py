@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from siu3r_tpu.ops.deformable import grid_sample_separable
-from siu3r_tpu.train.matcher import hungarian_match, sample_mask_points
+from siu3r_tpu.train.matcher import (
+    hungarian_match,
+    largest_divisor_leq,
+    sample_mask_points,
+)
 
 
 def _sample_points_one_mask(logits_hw, rng, num_points, oversample, importance,
@@ -144,7 +148,11 @@ def _mask_losses_item(
         # each chunk still carries 16x12544 points of parallel work.
         n_rows = o * v
         if n_rows % row_chunk:
-            row_chunk = n_rows
+            # largest divisor <= row_chunk — NEVER fall back to the full
+            # width: the flat vmap's transposed point-sampling temp
+            # (3.45 GiB at the training shape) was the round-4 OOM, and an
+            # odd query/view config must not silently reintroduce it
+            row_chunk = largest_divisor_leq(n_rows, row_chunk)
         ce, dice = jax.lax.map(
             lambda args: jax.vmap(per_row)(*args),
             (

@@ -26,6 +26,16 @@ from siu3r_tpu.ops.deformable import grid_sample_bilinear, grid_sample_separable
 _MATMUL_MAX_HW = 4096
 
 
+def largest_divisor_leq(n: int, cap: int) -> int:
+    """Largest divisor of ``n`` that is <= ``cap`` (static Python ints —
+    used to pick row-chunk sizes that tile ``n`` exactly without ever
+    falling back to the full, OOM-prone width)."""
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def _interp_matrix(coords: jax.Array, h: int, w: int) -> jax.Array:
     """Bilinear interpolation matrix S [P, H*W] for shared sample points
     (grid_sample semantics: align_corners=False, zeros padding — OOB corner
@@ -85,7 +95,8 @@ def sample_mask_points(
     # matmul, so 24 sequential chunks cost ~no wall-clock (MXU-bound,
     # ~0.1 ms/chunk).
     nb = n * v
-    chunk = 16 if nb % 16 == 0 else nb
+    # largest divisor <= 16 (never the full width — see losses.py row_chunk)
+    chunk = largest_divisor_leq(nb, 16)
     if chunk < nb:
         out = jax.lax.map(
             lambda a: grid_sample_separable(a[0], a[1], precision=precision),

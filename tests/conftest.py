@@ -28,7 +28,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # take minutes each on a few-core host and dominate suite runtime; warm
 # reruns hit the cache (keyed on HLO, so source edits that change the
 # computation still recompile)
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+_cache_dir = os.environ.get(
+    "SIU3R_JAX_CACHE_DIR",  # override: cold-cache timing runs (README)
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
 try:
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

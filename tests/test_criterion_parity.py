@@ -201,3 +201,35 @@ def test_chunked_rows_match_flat_vmap():
     )
     np.testing.assert_allclose(np.asarray(ce_c), np.asarray(ce_f), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(dice_c), np.asarray(dice_f), rtol=1e-6)
+
+
+def test_odd_row_count_uses_divisor_chunk():
+    """An O*V not divisible by 16 must pick the largest divisor <= 16, not
+    fall back to the full flat width (ADVICE r4: the flat vmap's transposed
+    point-sampling temp was the round-4 OOM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from siu3r_tpu.train.losses import _mask_losses_item
+    from siu3r_tpu.train.matcher import largest_divisor_leq
+
+    assert largest_divisor_leq(96, 16) == 16
+    assert largest_divisor_leq(36, 16) == 12
+    assert largest_divisor_leq(34, 16) == 2
+    assert largest_divisor_leq(17, 16) == 1
+
+    rng = np.random.RandomState(1)
+    o, v, q, h, w = 9, 2, 8, 16, 16  # o*v=18 -> divisor chunk 9
+    mask_logits = jnp.asarray(rng.randn(q, v, h, w).astype(np.float32))
+    gt_masks = jnp.asarray((rng.rand(o, v, h, w) > 0.6).astype(np.float32))
+    assignment = jnp.asarray(rng.randint(-1, q, (o,)), jnp.int32)
+    key = jax.random.PRNGKey(4)
+    kw = dict(num_points=16, oversample=2.0, importance=0.75)
+    ce_c, dice_c = _mask_losses_item(
+        mask_logits, gt_masks, assignment, key, row_chunk=16, **kw
+    )
+    ce_f, dice_f = _mask_losses_item(
+        mask_logits, gt_masks, assignment, key, row_chunk=o * v, **kw
+    )
+    np.testing.assert_allclose(np.asarray(ce_c), np.asarray(ce_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dice_c), np.asarray(dice_f), rtol=1e-6)

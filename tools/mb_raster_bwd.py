@@ -10,6 +10,11 @@ Usage:
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# the custom VJP reads SIU3R_RASTER_BWD at TRACE time with default 'jnp'
+# (rasterizer._rtd_bwd) — pin the documented default HERE, before any
+# tracing, so the label below matches what actually runs and --check
+# compares pallas-vs-jnp rather than jnp-vs-itself (ADVICE r4 #1)
+_os.environ.setdefault("SIU3R_RASTER_BWD", "pallas")
 import time, sys
 import numpy as np
 import jax, jax.numpy as jnp

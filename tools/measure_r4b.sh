@@ -14,7 +14,9 @@ run() {
 
 # 0. jnp-twin backward A/B at the same render shape as the gradcheck
 SIU3R_RASTER_BWD=jnp run python tools/mb_raster_bwd.py
-# 1. train step at the reference shape (B=3, 4 target views), Pallas bwd
+# 1. train step at the reference shape (B=3, 4 target views) with the
+#    in-step DEFAULT rasterizer backward (jnp twin unless SIU3R_RASTER_BWD
+#    is set — see rasterizer._rtd_bwd)
 run python bench.py --train 3
 # 2. bf16 train step A/B
 run python bench.py --train 3 --dtype bfloat16
