@@ -24,7 +24,7 @@ import pytest
 REF = Path("/root/reference")
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not REF.exists(), reason="reference not mounted")]
 
 B, Q, V, H, W = 2, 8, 2, 16, 16
 NUM_LABELS = 5

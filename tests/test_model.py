@@ -7,6 +7,8 @@ from siu3r_tpu.config import CrocoCfg, GaussianHeadCfg, Mask2formerCfg, ModelCfg
 from siu3r_tpu.models.model import SIU3RModel
 
 
+
+pytestmark = pytest.mark.slow  # compiles the full model / train step
 def tiny_model_cfg(num_views=2):
     return ModelCfg(
         croco=CrocoCfg(

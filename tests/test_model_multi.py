@@ -4,10 +4,13 @@ head2 for views 1..V-1 (reference model_multi.py semantics)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_model import tiny_model_cfg
 
 
+
+pytestmark = pytest.mark.slow  # compiles the full model / train step
 def test_multi_view_model_forward():
     cfg = tiny_model_cfg(num_views=3)
     from siu3r_tpu.models.model import SIU3RModel

@@ -16,7 +16,7 @@ REF = Path("/root/reference")
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not REF.exists(), reason="reference not mounted")]
 
 
 @pytest.fixture(scope="module")

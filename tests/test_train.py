@@ -19,6 +19,8 @@ from siu3r_tpu.config import (
 from siu3r_tpu.parallel import create_mesh, replicate, shard_batch
 from siu3r_tpu.pipeline import Pipeline, TrainState
 
+pytestmark = pytest.mark.slow  # compiles the full model / train step
+
 
 def tiny_root_cfg():
     model = ModelCfg(

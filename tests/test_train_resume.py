@@ -11,6 +11,8 @@ from siu3r_tpu.checkpoint_io import restore_train_state, save_train_state
 from test_train import fake_batch, tiny_root_cfg
 
 
+
+pytestmark = pytest.mark.slow  # compiles the full model / train step
 def test_save_restore_roundtrip(tmp_path):
     from siu3r_tpu.pipeline import Pipeline
 
