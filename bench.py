@@ -157,6 +157,11 @@ def main():
     ap.add_argument("--train-views", type=int, default=0)
     ap.add_argument("--evalstep", type=int, default=0)
     ap.add_argument(
+        "--no-donate", action="store_true",
+        help="with --train: do NOT donate the train state (isolates "
+        "donation/aliasing effects; needs HBM headroom — small batch only)",
+    )
+    ap.add_argument(
         "--memcheck", action="store_true",
         help="with --train/--train-views: AOT-compile and print XLA memory "
         "analysis instead of executing",
@@ -516,7 +521,7 @@ def main():
             ),
         }
         state = pipe.init_state(jax.random.PRNGKey(0), tbatch)
-        step = pipe.make_train_step()
+        step = pipe.make_train_step(donate=not opts.no_donate)
         if opts.memcheck:
             # AOT-compile only: report XLA's planned HBM footprint without
             # executing (diagnoses runtime OOMs; compare backward variants
@@ -536,12 +541,16 @@ def main():
             print(json.dumps(result))
             return
         state, losses = step(state, tbatch, jax.random.PRNGKey(1))
-        jax.block_until_ready(losses)
+        # sync via host transfer of a loss scalar: block_until_ready does NOT
+        # reliably synchronize through the axon tunnel (it can return before
+        # the step finishes, turning the loop into an enqueue-rate measure —
+        # the only dependable sync is a device->host read)
+        float(jax.tree_util.tree_leaves(losses)[0])
         t0 = time.time()
         n_it = 5
         for i in range(n_it):
             state, losses = step(state, tbatch, jax.random.PRNGKey(2 + i))
-            jax.block_until_ready(losses)
+            float(jax.tree_util.tree_leaves(losses)[0])
         dt_t = (time.time() - t0) / n_it
         label = f"train b={bb} v={vv}"
         print(

@@ -356,10 +356,14 @@ class Pipeline:
         # OOMs a 16 GB v5e chip (round-2 finding)
         return jax.jit(mapped, donate_argnums=(0,))
 
-    def make_train_step(self):
+    def make_train_step(self, donate: bool = True):
         """Single-device jitted train step with the state donated (see
-        make_dp_train_step note)."""
-        return jax.jit(self.train_step, donate_argnums=(0,))
+        make_dp_train_step note). ``donate=False`` keeps old+new state alive
+        — only viable at small batch; used to isolate donation effects
+        (bench.py --no-donate)."""
+        return jax.jit(
+            self.train_step, donate_argnums=(0,) if donate else ()
+        )
 
     # ---- ZeRO-1: optimizer-state sharding over the data axis ----
     #
