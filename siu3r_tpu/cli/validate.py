@@ -176,8 +176,12 @@ def main(argv=None):
             f"step + {time.time() - t0 - step_seconds[-1]:.2f}s host"
         )
 
+    sweep = {"n_scenes": n_scenes, "batch_size": batch_size,
+             "devices": mesh.size, "step_seconds": step_seconds}
     if len(step_seconds) > 1:  # skip the compile batch
         per_item = sum(step_seconds[1:]) / (len(step_seconds) - 1) / batch_size
+        sweep["ms_per_scene"] = per_item * 1000
+        sweep["scenes_per_sec"] = 1.0 / per_item
         log.info(
             f"eval step: {per_item * 1000:.1f} ms/scene "
             f"({1.0 / per_item:.2f} scenes/sec) at batch {batch_size} "
@@ -190,10 +194,12 @@ def main(argv=None):
 
         multihost_utils.sync_global_devices("siu3r_val_write_done")
         if jax.process_index() != 0:
-            return
+            return sweep
     ev = Evaluator(cfg.pipeline.evaluator)
     result = ev.evaluate(str(out_dir))
     print(json.dumps({k: v for k, v in result.items() if not k.endswith("per_class")}, indent=2))
+    sweep["results"] = result
+    return sweep
 
 
 def _numeric(batch):

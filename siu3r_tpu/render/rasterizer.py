@@ -687,37 +687,40 @@ def rasterize_multi(
     slots_y = min(slots_y, n_ty)
     slots_x = min(slots_x, n_tx)
 
-    proj = jax.vmap(
-        lambda vm, k: project_gaussians(
-            means, covariances, vm, k, image_size, near, far
-        )
-    )(viewmats, intrinsics_px)
+    with jax.named_scope("raster_project"):
+        proj = jax.vmap(
+            lambda vm, k: project_gaussians(
+                means, covariances, vm, k, image_size, near, far
+            )
+        )(viewmats, intrinsics_px)
 
-    tables, counts = jax.vmap(
-        lambda p: bin_gaussians(p, image_size, max_per_tile, slots_y, slots_x)
-    )(proj)
-    # tables [ncam, T, K], counts [ncam, T]
+    with jax.named_scope("raster_binning"):
+        tables, counts = jax.vmap(
+            lambda p: bin_gaussians(p, image_size, max_per_tile, slots_y, slots_x)
+        )(proj)
+        # tables [ncam, T, K], counts [ncam, T]
 
-    # pack per-gaussian params per camera: [ncam, G, 8]
-    zeros = jnp.zeros_like(proj.depth)
-    params = jnp.stack(
-        [
-            proj.mean2d[..., 0],
-            proj.mean2d[..., 1],
-            proj.conic[..., 0],
-            proj.conic[..., 1],
-            proj.conic[..., 2],
-            jnp.broadcast_to(opacities[None], proj.depth.shape),
-            proj.depth,
-            zeros,
-        ],
-        axis=-1,
-    )  # [ncam, G, 8]
+    with jax.named_scope("raster_gather"):
+        # pack per-gaussian params per camera: [ncam, G, 8]
+        zeros = jnp.zeros_like(proj.depth)
+        params = jnp.stack(
+            [
+                proj.mean2d[..., 0],
+                proj.mean2d[..., 1],
+                proj.conic[..., 0],
+                proj.conic[..., 1],
+                proj.conic[..., 2],
+                jnp.broadcast_to(opacities[None], proj.depth.shape),
+                proj.depth,
+                zeros,
+            ],
+            axis=-1,
+        )  # [ncam, G, 8]
 
-    gathered = jnp.take_along_axis(
-        params[:, None], tables[..., None], axis=2
-    )  # -> [ncam, T, K, 8] via broadcasting params[:, None] => [ncam,1,G,8]
-    gathered = gathered.reshape(ncam * n_tiles, max_per_tile, 8)
+        gathered = jnp.take_along_axis(
+            params[:, None], tables[..., None], axis=2
+        )  # -> [ncam, T, K, 8] via broadcasting params[:, None] => [ncam,1,G,8]
+        gathered = gathered.reshape(ncam * n_tiles, max_per_tile, 8)
 
     counts_flat = counts.reshape(-1)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -735,18 +738,20 @@ def rasterize_multi(
         color_chunks = []
         for c0 in range(0, c_total, channel_chunk):
             cc = min(channel_chunk, c_total - c0)
-            if per_cam_colors:
-                col_chunk = colors[:, :, c0 : c0 + cc]  # [ncam, G, cc]
-                col_g = jnp.take_along_axis(
-                    col_chunk[:, None], tables[..., None], axis=2
-                )  # [ncam, T, K, cc]
-            else:
-                col_chunk = colors[:, c0 : c0 + cc]  # [G, cc]
-                col_g = col_chunk[tables]  # [ncam, T, K, cc]
-            col_g = col_g.reshape(ncam * n_tiles, max_per_tile, cc)
-            color_t, aux_t = _rasterize_tiles_diff(
-                counts_flat, row0, col0, gathered, col_g
-            )
+            with jax.named_scope("raster_gather"):
+                if per_cam_colors:
+                    col_chunk = colors[:, :, c0 : c0 + cc]  # [ncam, G, cc]
+                    col_g = jnp.take_along_axis(
+                        col_chunk[:, None], tables[..., None], axis=2
+                    )  # [ncam, T, K, cc]
+                else:
+                    col_chunk = colors[:, c0 : c0 + cc]  # [G, cc]
+                    col_g = col_chunk[tables]  # [ncam, T, K, cc]
+                col_g = col_g.reshape(ncam * n_tiles, max_per_tile, cc)
+            with jax.named_scope("raster_composite"):
+                color_t, aux_t = _rasterize_tiles_diff(
+                    counts_flat, row0, col0, gathered, col_g
+                )
             # untile: [ncam*T, cc, TH, TW] -> [ncam, H, W, cc]
             color_t = color_t.reshape(ncam, n_ty, n_tx, cc, TILE_H, TILE_W)
             color_t = color_t.transpose(0, 1, 4, 2, 5, 3).reshape(

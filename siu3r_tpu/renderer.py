@@ -121,10 +121,11 @@ def render_gaussians(
     sh_degree = int(round(gaussians.harmonics.shape[-1] ** 0.5)) - 1
 
     def render_item(means_i, covs_i, opac_i, harm_i, viewmats_i, intr_i, ext_i):
-        campos = ext_i[:, :3, 3]  # [V, 3]
-        dirs = means_i[None] - campos[:, None]  # [V, G, 3]
-        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
-        colors = eval_sh_colors(harm_i[None], dirs, sh_degree)  # [V, G, 3]
+        with jax.named_scope("sh_eval"):
+            campos = ext_i[:, :3, 3]  # [V, 3]
+            dirs = means_i[None] - campos[:, None]  # [V, G, 3]
+            dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
+            colors = eval_sh_colors(harm_i[None], dirs, sh_degree)  # [V, G, 3]
         return rasterize(
             means_i,
             covs_i,

@@ -37,7 +37,26 @@ def _load_xspace(trace_dir: str):
     return xs
 
 
-def attribute(trace_dir: str, top: int = 25):
+def _scope_key(tf_op: str, depth: int, anchor: str | None) -> str:
+    """Aggregation key from a named-scope path.
+
+    Without ``anchor``: the first ``depth`` path components. With ``anchor``
+    (substring, e.g. "render"): the path RELATIVE to the first component
+    containing it, ``depth`` levels deep — this is how render-loss
+    sub-attribution groups "raster_binning" under both the forward and the
+    transpose(jvp(...)) backward wrappers; non-matching events land in
+    "(other)"."""
+    parts = [p for p in tf_op.split("/") if p]
+    if anchor:
+        for i, p in enumerate(parts):
+            if anchor in p:
+                return "/".join(parts[i:i + 1 + depth]) or "(unscoped)"
+        return "(other)"
+    return "/".join(parts[:depth]) or "(unscoped)"
+
+
+def attribute(trace_dir: str, top: int = 25, depth: int = 1,
+              anchor: str | None = None):
     xs = _load_xspace(trace_dir)
     device_planes = [
         p for p in xs.planes
@@ -68,13 +87,9 @@ def attribute(trace_dir: str, top: int = 25):
                 for st in ev.stats:
                     sname = stat_names.get(st.metadata_id)
                     key = sname.name if sname else ""
-                    val = st.str_value or (
-                        xs.hostnames  # placeholder, never used
-                        if False else st.str_value
-                    )
                     if key == "tf_op" and st.str_value:
                         # named_scope path, e.g. "backbone/encoder/..."
-                        scope = st.str_value.split("/")[0]
+                        scope = _scope_key(st.str_value, depth, anchor)
                     elif key == "hlo_category" and st.str_value:
                         category = st.str_value
                 by_scope[scope] += dur
@@ -92,4 +107,16 @@ def attribute(trace_dir: str, top: int = 25):
 
 
 if __name__ == "__main__":
-    attribute(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir", nargs="?", default="/tmp/jax_trace")
+    ap.add_argument("--depth", type=int, default=1,
+                    help="scope-path aggregation depth")
+    ap.add_argument("--anchor", default=None,
+                    help="aggregate relative to the first path component "
+                    "containing this substring (e.g. 'raster')")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+    attribute(args.trace_dir, top=args.top, depth=args.depth,
+              anchor=args.anchor)
