@@ -558,25 +558,38 @@ def _rtd_fwd(counts, row0, col0, params, colors):
     return out, (counts, row0, col0, params, colors)
 
 
-def _rtd_bwd(residuals, cotangents):
+def raster_bwd_mode() -> str:
+    """Effective rasterizer-backward implementation: 'jnp' | 'pallas'.
+
+    The Pallas analytic backward is gradcheck-validated standalone
+    (tools/mb_raster_bwd.py --check, host-transferred gradients: max rel
+    err <= 1.6e-5 vs the jnp twin, 2.7x faster grad) but inside the FULL
+    jitted train step it crashes the TPU worker at the FIRST executed step
+    ("UNAVAILABLE: TPU worker process crashed", kernel fault). Round-5
+    finding with reliable host-transfer sync (bench.py train loop): every
+    properly-synced in-step run crashes — the round-4/5 "green" in-step
+    runs were sync artifacts (block_until_ready returns early through the
+    axon tunnel, so those processes exited before their steps completed).
+    Fresh-compile vs persistent-cache-load makes no difference (fresh
+    compile crashed identically, /tmp/r5_pallas_nocache_train3.log).
+    Ruled out: vmap lowering, k_cap mismatch, kernel math, compile-cache
+    deserialization. Remaining suspects: donation/aliasing of the train
+    state, remat interplay, near-capacity HBM at the B=3 shape.
+
+    Default is therefore the differentiated jnp twin (also the non-TPU
+    path and the parity oracle); opt in with SIU3R_RASTER_BWD=pallas for
+    standalone/microbench use. Read at TRACE time — baked into jit caches;
+    flipping the env mid-process has no effect on compiled functions.
+    """
     import os
 
+    mode = os.environ.get("SIU3R_RASTER_BWD", "jnp")
+    return mode if jax.default_backend() == "tpu" else "jnp"
+
+
+def _rtd_bwd(residuals, cotangents):
     counts, row0, col0, params, colors = residuals
-    # Default is the differentiated jnp twin: the Pallas analytic backward
-    # is gradcheck-validated standalone (tools/mb_raster_bwd.py, max rel err
-    # <= 1.6e-5, 2.7x faster grad) but inside the FULL jitted train step it
-    # hits a TPU runtime fault (UNAVAILABLE, round-4 drives of
-    # `bench.py --train 3`). Ruled out: vmap lowering (faults identically
-    # with lax.map-unbatched kernel calls; semantics also pass vmapped in
-    # interpret mode, tests/test_raster_bwd_vmap.py), k_cap mismatch (4096
-    # everywhere), kernel math (standalone on-chip gradcheck green).
-    # Remaining suspects: interaction with remat/donation or near-capacity
-    # HBM in the full step. Opt in with SIU3R_RASTER_BWD=pallas for
-    # unbatched/microbench use until root-caused.
-    if (
-        jax.default_backend() == "tpu"
-        and os.environ.get("SIU3R_RASTER_BWD", "jnp") == "pallas"
-    ):
+    if raster_bwd_mode() == "pallas":
         # analytic Pallas backward: saturation-aware reverse chunk sweep
         d_params, d_colors = _tiles_backward(
             counts, row0, col0, params, colors, *cotangents,
@@ -670,10 +683,12 @@ def rasterize_multi(
     per-camera (e.g. SH evaluated per view); viewmats [ncam, 4, 4]
     world-to-camera; intrinsics_px [ncam, 3, 3].
 
-    Backward selection: SIU3R_RASTER_BWD (jnp|pallas) is read from the
-    environment at TRACE time inside the custom VJP (_rtd_bwd) — it is
-    baked into jit caches, so flipping it mid-process has no effect on
-    already-compiled functions; set it before the first trace.
+    Backward selection: SIU3R_RASTER_BWD (pallas|jnp, TPU default pallas)
+    is read from the environment at TRACE time inside the custom VJP
+    (_rtd_bwd via raster_bwd_mode) — it is baked into jit caches, so
+    flipping it mid-process has no effect on already-compiled functions;
+    set it before the first trace. See raster_bwd_mode() for the
+    persistent-compile-cache caveat that applies when differentiating.
 
     Returns (list of color [ncam, H, W, C_i] — NO background blended —
     depth [ncam, H, W], alpha [ncam, H, W]).

@@ -157,6 +157,7 @@ def test_refer_word_match_loss_matches_torch():
     np.testing.assert_allclose(ours, expected, rtol=1e-5)
 
 
+@pytest.mark.slow  # compiles a full train step
 def test_refer_train_step_updates_lang_params():
     from siu3r_tpu.pipeline import Pipeline
 
@@ -197,6 +198,7 @@ def test_referred_mask_iou_exact():
     np.testing.assert_allclose(mean, 0.75)
 
 
+@pytest.mark.slow  # compiles a full eval step
 def test_refer_eval_step_shapes():
     from siu3r_tpu.pipeline import Pipeline
 
