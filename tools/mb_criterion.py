@@ -28,17 +28,26 @@ def crit(params_msk, params_cls, r):
 
 
 fwd = jax.jit(crit)
-grad = jax.jit(jax.grad(crit, argnums=(0, 1)))
+# scalarized grad: timing syncs via a device->host read (block_until_ready
+# does not reliably synchronize through the axon tunnel — round-5 finding)
+grad = jax.jit(
+    lambda m, c, r_: sum(
+        x.sum()
+        for x in jax.tree_util.tree_leaves(
+            jax.grad(crit, argnums=(0, 1))(m, c, r_)
+        )
+    )
+)
 r = jax.random.PRNGKey(7)
 
-t0 = time.time(); jax.block_until_ready(fwd(msk, cls, r)); print(f"fwd compile+run {time.time()-t0:.1f}s", file=sys.stderr)
+t0 = time.time(); float(fwd(msk, cls, r)); print(f"fwd compile+run {time.time()-t0:.1f}s", file=sys.stderr)
 ts = []
 for _ in range(4):
-    t0 = time.time(); jax.block_until_ready(fwd(msk, cls, r)); ts.append(time.time() - t0)
-print(f"criterion fwd: {min(ts)*1000:.1f} ms", file=sys.stderr)
+    t0 = time.time(); float(fwd(msk, cls, r)); ts.append(time.time() - t0)
+print(f"criterion fwd: {min(ts)*1000:.1f} ms (incl ~29 ms tunnel sync)", file=sys.stderr)
 
-t0 = time.time(); jax.block_until_ready(grad(msk, cls, r)); print(f"grad compile+run {time.time()-t0:.1f}s", file=sys.stderr)
+t0 = time.time(); float(grad(msk, cls, r)); print(f"grad compile+run {time.time()-t0:.1f}s", file=sys.stderr)
 ts = []
 for _ in range(4):
-    t0 = time.time(); jax.block_until_ready(grad(msk, cls, r)); ts.append(time.time() - t0)
-print(f"criterion grad: {min(ts)*1000:.1f} ms", file=sys.stderr)
+    t0 = time.time(); float(grad(msk, cls, r)); ts.append(time.time() - t0)
+print(f"criterion grad: {min(ts)*1000:.1f} ms (incl ~29 ms tunnel sync)", file=sys.stderr)

@@ -58,24 +58,32 @@ def loss(means_, covs_, opac_, colors_):
 
 f = jax.jit(loss)
 g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+# scalarized grad for TIMING: block_until_ready does not reliably
+# synchronize through the axon tunnel (round-5 finding) — the only
+# dependable sync is a device->host read, so every timed function must
+# return a scalar we can float()
+g_scalar = jax.jit(
+    lambda *a: sum(x.sum() for x in jax.grad(loss, argnums=(0, 1, 2, 3))(*a))
+)
 
 
 def timeit(name, fn, *a):
     t0 = time.time()
-    jax.block_until_ready(fn(*a))
+    float(fn(*a))  # host read = reliable sync (axon tunnel)
     print(f"{name} compile+run {time.time()-t0:.1f}s", file=sys.stderr)
     ts = []
     for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(fn(*a))
+        float(fn(*a))
         ts.append(time.time() - t0)
-    print(f"{name}: {min(ts)*1000:.1f} ms", file=sys.stderr)
+    print(f"{name}: {min(ts)*1000:.1f} ms (incl ~29 ms tunnel sync)",
+          file=sys.stderr)
     return min(ts)
 
 
 mode = _os.environ.get("SIU3R_RASTER_BWD", "pallas")
 timeit(f"[{mode}] raster fwd (4 views)", f, *args[:4])
-timeit(f"[{mode}] raster fwd+grad (4 views)", g, *args[:4])
+timeit(f"[{mode}] raster fwd+grad (4 views)", g_scalar, *args[:4])
 
 if mode != "jnp" and "--check" in sys.argv:
     # cross-check vs the jnp twin ON CHIP: rebuild the grad with the env

@@ -48,16 +48,28 @@ batch = {
 state = pipe.init_state(jax.random.PRNGKey(0), batch)
 
 
+def _scalarize(fn):
+    """Reduce a pytree-returning fn to one scalar so the timing loop can
+    sync via a device->host read — block_until_ready does not reliably
+    synchronize through the axon tunnel (round-5 finding)."""
+    def wrapped(*a):
+        out = fn(*a)
+        return sum(x.sum().astype(jnp.float32)
+                   for x in jax.tree_util.tree_leaves(out))
+    return wrapped
+
+
 def timeit(name, fn, *args):
     t0 = time.time()
-    jax.block_until_ready(fn(*args))
+    float(fn(*args))  # host read = reliable sync
     print(f"{name} compile+run {time.time()-t0:.1f}s", file=sys.stderr)
     ts = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         ts.append(time.time() - t0)
-    print(f"{name}: {min(ts)*1000:.1f} ms", file=sys.stderr)
+    print(f"{name}: {min(ts)*1000:.1f} ms (incl ~29 ms tunnel sync)",
+          file=sys.stderr)
 
 
 # ---- 1. model fwd + bwd (no losses): pull the whole graph via sums ----
@@ -78,7 +90,8 @@ def model_loss(params, bs, b):
 
 
 mf = jax.jit(lambda p, bs: model_loss(p, bs, batch))
-mg = jax.jit(jax.grad(lambda p: model_loss(p, state.batch_stats, batch)))
+mg = jax.jit(_scalarize(
+    jax.grad(lambda p: model_loss(p, state.batch_stats, batch))))
 timeit("model fwd", mf, state.params, state.batch_stats)
 timeit("model fwd+bwd", mg, state.params)
 
@@ -114,6 +127,6 @@ def render_losses(gt):
 
 
 rf = jax.jit(render_losses)
-rg = jax.jit(jax.grad(render_losses))
+rg = jax.jit(_scalarize(jax.grad(render_losses)))
 timeit("render losses fwd", rf, gtuple)
 timeit("render losses fwd+bwd", rg, gtuple)

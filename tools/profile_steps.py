@@ -104,12 +104,12 @@ def main():
         if mode == "train":
             step = pipe.make_train_step()
             state, losses = step(state, batch, jax.random.PRNGKey(1))
-            jax.block_until_ready(losses)
             print({k: float(v) for k, v in losses.items()}, file=sys.stderr)
             jax.profiler.start_trace(trace_dir)
             for i in range(3):
                 state, losses = step(state, batch, jax.random.PRNGKey(2 + i))
-                jax.block_until_ready(losses)
+                # host read: the only reliable sync through the axon tunnel
+                float(jax.tree_util.tree_leaves(losses)[0])
             jax.profiler.stop_trace()
         else:
             m2f = root.pipeline.model.mask2former

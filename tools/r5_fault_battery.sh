@@ -19,4 +19,8 @@ run SIU3R_RASTER_BWD=pallas python bench.py --no-retry --train 3 --memcheck
 run SIU3R_RASTER_BWD=pallas python bench.py --no-retry --train 1
 # E2: donation probe — B=1 without state donation (only fits at B=1)
 run SIU3R_RASTER_BWD=pallas python bench.py --no-retry --train 1 --no-donate
+# E3: full B=3 with the pallas backward (post-rewrite kernel)
+run SIU3R_RASTER_BWD=pallas python bench.py --no-retry --train 3
+# E4: full B=3 with the jnp-twin backward (post-rewrite A/B baseline)
+run SIU3R_RASTER_BWD=jnp python bench.py --no-retry --train 3
 echo "ALL DONE" >> "$L"

@@ -91,23 +91,30 @@ def render_losses(gt):
     return loss
 
 
-rg = jax.jit(jax.grad(render_losses))
+# scalarize the grad so the timing loop syncs via a device->host read —
+# block_until_ready does not reliably synchronize through the axon tunnel
+rg = jax.jit(
+    lambda gt: sum(
+        x.sum() for x in jax.tree_util.tree_leaves(jax.grad(render_losses)(gt))
+    )
+)
 rf = jax.jit(render_losses)
 
 t0 = time.time()
-jax.block_until_ready(rg(gtuple))
+float(rg(gtuple))
 print(f"compile+run {time.time() - t0:.1f}s", file=sys.stderr)
 for name, fn in (("fwd", rf), ("fwd+bwd", rg)):
     ts = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(fn(gtuple))
+        float(fn(gtuple))
         ts.append(time.time() - t0)
-    print(f"render losses {name}: {min(ts) * 1000:.1f} ms", file=sys.stderr)
+    print(f"render losses {name}: {min(ts) * 1000:.1f} ms "
+          "(incl ~29 ms tunnel sync)", file=sys.stderr)
 
 jax.profiler.start_trace(TRACE_DIR)
 for _ in range(3):
-    jax.block_until_ready(rg(gtuple))
+    float(rg(gtuple))
 jax.profiler.stop_trace()
 print(f"trace -> {TRACE_DIR}", file=sys.stderr)
 
