@@ -683,7 +683,8 @@ def rasterize_multi(
     per-camera (e.g. SH evaluated per view); viewmats [ncam, 4, 4]
     world-to-camera; intrinsics_px [ncam, 3, 3].
 
-    Backward selection: SIU3R_RASTER_BWD (pallas|jnp, TPU default pallas)
+    Backward selection: SIU3R_RASTER_BWD (pallas|jnp, default jnp — see
+    raster_bwd_mode() for why the Pallas backward is opt-in)
     is read from the environment at TRACE time inside the custom VJP
     (_rtd_bwd via raster_bwd_mode) — it is baked into jit caches, so
     flipping it mid-process has no effect on already-compiled functions;
