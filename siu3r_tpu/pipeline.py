@@ -160,11 +160,23 @@ class Pipeline:
         )
 
         with jax.named_scope("render_losses"):
+            # rasterizer backward: the analytic Pallas kernel inside the
+            # validated shape envelope (round-5 fault battery — green at
+            # B=1, crashes at B=3; raster_bwd_mode docstring has the
+            # record), the differentiated jnp twin outside it. Shapes are
+            # static at trace time, so the gate is too.
+            from siu3r_tpu.render.rasterizer import raster_bwd_mode
+
+            n_frames = (
+                batch["target_views_extrinsics"].shape[0]
+                * batch["target_views_extrinsics"].shape[1]
+            )
             render = render_gaussians(
                 out.gaussians,
                 batch["target_views_extrinsics"],
                 batch["target_views_intrinsics"],
                 (h, w),
+                bwd_mode=raster_bwd_mode(view_frames=n_frames),
             )
 
         losses: Dict[str, jax.Array] = {}

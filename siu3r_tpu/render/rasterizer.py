@@ -179,11 +179,201 @@ def bin_gaussians_sort(
     return table, counts
 
 
-# the counting path is the default binning (see bin_gaussians_count); the
-# key-sort path stays importable for A/B benching and as the fallback if a
-# future image size made T large enough for the [T, G] cumsum working set
-# to lose to the G*M key sort
-bin_gaussians = bin_gaussians_count
+# depth-ordered gaussians swept per inner-loop iteration of the Pallas
+# binning kernel; the kernel's one-hot scatter builds a [chunk, chunk]
+# compare/select block per (tile, chunk), so total VPU work is
+# T * G * chunk — smaller chunks mean less work but more loop iterations
+_BIN_CHUNK = 512
+
+
+def _bin_kernel(y0r, y1r, x0r, x1r, idsr, tblr, cntr, *, n_tx, k_cap, chunk):
+    """Per-tile table build: sweep depth-ordered chunks, compact the
+    members of this tile into the table via a one-hot deposit.
+
+    Mosaic constraints shape the layout: dynamic chunk selection lives on
+    the leading untiled input dim ([nb, 1, chunk], chunk data on lanes);
+    the deposit puts the window index on SUBLANES ([win, chunk] compare
+    reduced over lanes -> a [win, 1] column) so no transpose is ever
+    needed; and the table is stored COLUMN-layout ([pad, 1]) so the
+    dynamic window store is a sublane slice, 8-aligned via an explicit
+    0..7 static-shift select (dynamic lane/sublane offsets must be
+    128/8-aligned). cntr is [1, 1, 1] in SMEM (scalar stores to VMEM are
+    rejected).
+    """
+    t = pl.program_id(0)
+    ty = t // n_tx
+    tx = t % n_tx
+    nb = y0r.shape[0]
+    win = chunk + 8  # store window: chunk sublanes + 8-alignment slack
+    tblr[...] = jnp.zeros_like(tblr)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+
+    def body(b, base):
+        sel = (pl.dslice(b, 1), slice(None), slice(None))
+        row = lambda r: r[sel].reshape(1, chunk)
+        m = (
+            (row(y0r) <= ty)
+            & (ty <= row(y1r))
+            & (row(x0r) <= tx)
+            & (tx <= row(x1r))
+        ).astype(jnp.int32)  # [1, chunk] membership, depth order
+        # inclusive cumsum along lanes (static log-shifts): member i's slot
+        # in this tile's list is base + lc[i] - 1
+        lc = m
+        sh = 1
+        while sh < chunk:
+            lc = lc + jnp.concatenate(
+                [jnp.zeros((1, sh), jnp.int32), lc[:, :-sh]], axis=1
+            )
+            sh *= 2
+        total = jnp.max(lc)  # = lc[-1] (monotone)
+        # one-hot deposit, window index j on sublanes: member i (rank
+        # lc[i]-1, distinct per member; non-members masked — their lc-1
+        # collides with the preceding member's slot) deposits its id at
+        # window row lc[i]-1
+        seg = jnp.sum(
+            jnp.where((lc - 1 == sidx) & (m > 0), row(idsr), 0),
+            axis=1,
+            keepdims=True,
+        )  # [win, 1] column; rows >= total are zero
+        # dynamic sublane offsets must be 8-aligned: RMW the aligned
+        # window [ab, ab+win) with seg shifted down by the 0..7 residue
+        # (static-shift select — no dynamic rotate)
+        ab = pl.multiple_of((base // 8) * 8, 8)
+        off = base - ab
+        shifted = jnp.where(off == 0, seg, 0)
+        for s in range(1, 8):
+            cand = jnp.concatenate(
+                [jnp.zeros((s, 1), jnp.int32), seg[: win - s]], axis=0
+            )
+            shifted = shifted + jnp.where(off == s, cand, 0)
+        cur = tblr[0, pl.dslice(ab, win), 0:1]
+        keep = (sidx >= off) & (sidx < off + total)
+        tblr[0, pl.dslice(ab, win), 0:1] = jnp.where(keep, shifted, cur)
+        return jnp.minimum(base + total, k_cap)
+
+    cntr[0, 0, 0] = jax.lax.fori_loop(0, nb, body, jnp.int32(0))
+
+
+def bin_gaussians_pallas(
+    proj: ProjectedGaussians,
+    image_size: Tuple[int, int],
+    max_per_tile: int,
+    slots_y: int,
+    slots_x: int,
+    interpret: bool = False,
+):
+    """Pallas binning: identical tables to :func:`bin_gaussians_count`.
+
+    Round-5 device trace of the training render losses found the count
+    path's two index ops pathological on TPU — the vmapped searchsorted
+    (a 17-step binary-search while loop gathering from the [T, G] cumsum;
+    1.9 s across the traced step) and the ``order[pos]`` table gather
+    (another 1.9 s; XLA lowers big fused gathers to per-element dynamic
+    slices) — together ~44% of the whole render fwd+bwd. This kernel does
+    the same compaction with NO gathers at all: one stable multi-payload
+    ``lax.sort`` by depth moves the per-gaussian tile ranges and ids into
+    depth order (payload shuffle inside the sort, not a gather), then each
+    tile sweeps the depth-ordered stream in VMEM-resident chunks,
+    cumsum-ranks its members, and deposits their ids into the table with a
+    masked one-hot compare + sublane reduction (contiguous loads and
+    stores only).
+
+    Forward-only (int outputs — binning is not differentiated; inputs are
+    stop_gradient'ed so AD never sees the pallas_call). The jnp count path
+    remains the parity oracle and the non-TPU default.
+    """
+    h, w = image_size
+    n_ty = -(-h // TILE_H)
+    n_tx = -(-w // TILE_W)
+    n_tiles = n_ty * n_tx
+    g = proj.mean2d.shape[0]
+    chunk = _BIN_CHUNK
+
+    y0, y1, x0, x1, alive = _tile_ranges(proj, n_ty, n_tx, slots_y, slots_x)
+    # dead gaussians -> empty range (never matches any tile)
+    y0 = jnp.where(alive, y0, 1)
+    y1 = jnp.where(alive, y1, 0)
+    ids = jnp.arange(g, dtype=jnp.int32)
+    depth = jax.lax.stop_gradient(proj.depth)
+    gp = -(-g // chunk) * chunk
+    if gp != g:
+        pad = gp - g
+        depth = jnp.concatenate([depth, jnp.full((pad,), jnp.inf, depth.dtype)])
+        y0 = jnp.concatenate([y0, jnp.ones((pad,), jnp.int32)])
+        y1 = jnp.concatenate([y1, jnp.zeros((pad,), jnp.int32)])
+        x0 = jnp.concatenate([x0, jnp.ones((pad,), jnp.int32)])
+        x1 = jnp.concatenate([x1, jnp.zeros((pad,), jnp.int32)])
+        ids = jnp.concatenate([ids, jnp.zeros((pad,), jnp.int32)])
+    # one stable sort carries every payload into depth order (ties keep
+    # submission order, same as the count path's stable argsort)
+    _, y0, y1, x0, x1, ids = jax.lax.sort(
+        (depth, y0, y1, x0, x1, ids), num_keys=1, is_stable=True
+    )
+    nb = gp // chunk
+    pad_h = max_per_tile + chunk + 8
+
+    def rows(a):
+        # row b = chunk b, depth order along lanes
+        return jax.lax.stop_gradient(a.reshape(nb, 1, chunk))
+
+    table, counts = pl.pallas_call(
+        functools.partial(
+            _bin_kernel, n_tx=n_tx, k_cap=max_per_tile, chunk=chunk
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (nb, 1, chunk), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 5,
+        out_specs=[
+            # column-layout table [pad_h, 1] per tile — the kernel's
+            # window store is a dynamic SUBLANE slice (8-aligned)
+            pl.BlockSpec(
+                (1, pad_h, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            # scalar per tile -> SMEM (scalar stores to VMEM are rejected)
+            pl.BlockSpec(
+                (1, 1, 1), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, pad_h, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
+        ],
+        interpret=interpret or jax.default_backend() != "tpu",
+        # 5 x [nb, 1(pad 8), chunk] s32 inputs ≈ 20 MB resident — over the
+        # 16 MB default scoped-vmem budget (cf. _tiles_backward)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+    )(rows(y0), rows(y1), rows(x0), rows(x1), rows(ids))
+    return table[:, :max_per_tile, 0], counts[:, 0, 0]
+
+
+def bin_gaussians(proj, image_size, max_per_tile, slots_y, slots_x):
+    """Binning dispatch: the Pallas kernel on TPU (no gathers — see
+    bin_gaussians_pallas for the trace evidence), the counting path
+    elsewhere (its parity oracle). SIU3R_BINNING=pallas|count|sort
+    overrides (read at TRACE time, baked into jit caches)."""
+    import os
+
+    impl = os.environ.get("SIU3R_BINNING")
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "count"
+    elif impl == "pallas" and jax.default_backend() != "tpu":
+        # interpret-mode pallas is orders of magnitude slower on CPU;
+        # explicit interpret tests call bin_gaussians_pallas directly
+        impl = "count"
+    fn = {
+        "pallas": bin_gaussians_pallas,
+        "count": bin_gaussians_count,
+        "sort": bin_gaussians_sort,
+    }[impl]
+    return fn(proj, image_size, max_per_tile, slots_y, slots_x)
 
 
 def _raster_kernel(
@@ -548,48 +738,70 @@ def _tiles_forward(counts, row0, col0, params, colors):
     return _tiles_jnp(counts, row0, col0, params, colors)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _rasterize_tiles_diff(counts, row0, col0, params, colors):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rasterize_tiles_diff(bwd_mode, counts, row0, col0, params, colors):
     return _tiles_forward(counts, row0, col0, params, colors)
 
 
-def _rtd_fwd(counts, row0, col0, params, colors):
+def _rtd_fwd(bwd_mode, counts, row0, col0, params, colors):
     out = _tiles_forward(counts, row0, col0, params, colors)
     return out, (counts, row0, col0, params, colors)
 
 
-def raster_bwd_mode() -> str:
+# Highest per-item view-frame count (batch x rendered cameras) at which the
+# in-step Pallas backward has been validated green on the chip (round-5
+# fault battery, /tmp/r5_fault.log): B=1 x 4 target views runs green
+# (with and without state donation); B=3 x 4 crashes the TPU worker at the
+# first executed step. Raised as further shapes are validated (see
+# raster_bwd_mode docstring for the fault record).
+PALLAS_BWD_MAX_FRAMES = 4
+
+
+def raster_bwd_mode(view_frames: Optional[int] = None) -> str:
     """Effective rasterizer-backward implementation: 'jnp' | 'pallas'.
 
     The Pallas analytic backward is gradcheck-validated standalone
     (tools/mb_raster_bwd.py --check, host-transferred gradients: max rel
-    err <= 1.6e-5 vs the jnp twin, 2.7x faster grad) but inside the FULL
-    jitted train step it crashes the TPU worker at the FIRST executed step
-    ("UNAVAILABLE: TPU worker process crashed", kernel fault). Round-5
-    finding with reliable host-transfer sync (bench.py train loop): every
-    properly-synced in-step run crashes — the round-4/5 "green" in-step
-    runs were sync artifacts (block_until_ready returns early through the
-    axon tunnel, so those processes exited before their steps completed).
-    Fresh-compile vs persistent-cache-load makes no difference (fresh
-    compile crashed identically, /tmp/r5_pallas_nocache_train3.log).
-    Ruled out: vmap lowering, k_cap mismatch, kernel math, compile-cache
-    deserialization. Remaining suspects: donation/aliasing of the train
-    state, remat interplay, near-capacity HBM at the B=3 shape.
+    err <= 1.6e-5 vs the jnp twin, 2.7x faster grad) and — round-5 fault
+    battery — runs green inside the FULL jitted train step at B=1
+    (841 ms/step donated, 902 no-donate). At B=3 it crashes the TPU worker
+    at the FIRST executed step ("UNAVAILABLE: TPU worker process crashed",
+    kernel fault), including with lax.map-unbatched calls whose per-call
+    shapes are identical to the green B=1 run — so the fault tracks the
+    surrounding workload (near-capacity HBM at the B=3 shape: 15.66 of
+    16 GiB planned), not the kernel's own shapes. Ruled out: vmap
+    lowering, k_cap mismatch, kernel math, compile-cache deserialization,
+    state donation. (Round-4/5 history: earlier "green" B=3 runs were
+    sync artifacts — block_until_ready returns early through the axon
+    tunnel; every host-transfer-synced B=3 run crashes.)
 
-    Default is therefore the differentiated jnp twin (also the non-TPU
-    path and the parity oracle); opt in with SIU3R_RASTER_BWD=pallas for
-    standalone/microbench use. Read at TRACE time — baked into jit caches;
-    flipping the env mid-process has no effect on compiled functions.
+    Selection, in order:
+      * SIU3R_RASTER_BWD env var, if set (read at TRACE time — baked into
+        jit caches; flipping it mid-process has no effect on compiled
+        functions);
+      * if ``view_frames`` (batch x rendered cameras per step) is given:
+        'pallas' when view_frames <= PALLAS_BWD_MAX_FRAMES (the validated
+        envelope), else 'jnp';
+      * 'jnp'.
+    Non-TPU backends always resolve 'jnp' (the twin is the parity oracle);
+    tests that want the Pallas path off-chip pass interpret mode directly.
     """
     import os
 
-    mode = os.environ.get("SIU3R_RASTER_BWD", "jnp")
-    return mode if jax.default_backend() == "tpu" else "jnp"
+    if jax.default_backend() != "tpu":
+        return "jnp"
+    mode = os.environ.get("SIU3R_RASTER_BWD")
+    if mode:
+        return mode
+    if view_frames is not None and view_frames <= PALLAS_BWD_MAX_FRAMES:
+        return "pallas"
+    return "jnp"
 
 
-def _rtd_bwd(residuals, cotangents):
+def _rtd_bwd(bwd_mode, residuals, cotangents):
     counts, row0, col0, params, colors = residuals
-    if raster_bwd_mode() == "pallas":
+    mode = bwd_mode if bwd_mode is not None else raster_bwd_mode()
+    if mode == "pallas":
         # analytic Pallas backward: saturation-aware reverse chunk sweep
         d_params, d_colors = _tiles_backward(
             counts, row0, col0, params, colors, *cotangents,
@@ -667,6 +879,7 @@ def rasterize_multi(
     slots_y: int = 4,
     slots_x: int = 2,
     channel_chunk: int = 64,
+    bwd_mode: Optional[str] = None,
 ):
     """Rasterize one scene's gaussians into ``ncam`` views, compositing any
     number of channel sets over ONE shared projection + binning.
@@ -683,13 +896,12 @@ def rasterize_multi(
     per-camera (e.g. SH evaluated per view); viewmats [ncam, 4, 4]
     world-to-camera; intrinsics_px [ncam, 3, 3].
 
-    Backward selection: SIU3R_RASTER_BWD (pallas|jnp, default jnp — see
-    raster_bwd_mode() for why the Pallas backward is opt-in)
-    is read from the environment at TRACE time inside the custom VJP
-    (_rtd_bwd via raster_bwd_mode) — it is baked into jit caches, so
-    flipping it mid-process has no effect on already-compiled functions;
-    set it before the first trace. See raster_bwd_mode() for the
-    persistent-compile-cache caveat that applies when differentiating.
+    Backward selection: ``bwd_mode`` ('pallas' | 'jnp' | None). None defers
+    to :func:`raster_bwd_mode` at TRACE time (SIU3R_RASTER_BWD env var,
+    else jnp) — the choice is baked into jit caches, so flipping the env
+    mid-process has no effect on already-compiled functions. Callers that
+    know the per-step view-frame count (the pipeline) pass an explicit
+    mode gated on the validated envelope (PALLAS_BWD_MAX_FRAMES).
 
     Returns (list of color [ncam, H, W, C_i] — NO background blended —
     depth [ncam, H, W], alpha [ncam, H, W]).
@@ -766,7 +978,7 @@ def rasterize_multi(
                 col_g = col_g.reshape(ncam * n_tiles, max_per_tile, cc)
             with jax.named_scope("raster_composite"):
                 color_t, aux_t = _rasterize_tiles_diff(
-                    counts_flat, row0, col0, gathered, col_g
+                    bwd_mode, counts_flat, row0, col0, gathered, col_g
                 )
             # untile: [ncam*T, cc, TH, TW] -> [ncam, H, W, cc]
             color_t = color_t.reshape(ncam, n_ty, n_tx, cc, TILE_H, TILE_W)
@@ -800,6 +1012,7 @@ def rasterize(
     slots_y: int = 4,
     slots_x: int = 2,
     channel_chunk: int = 64,
+    bwd_mode: Optional[str] = None,
 ):
     """Single-channel-set wrapper over :func:`rasterize_multi`.
 
@@ -809,6 +1022,7 @@ def rasterize(
         means, covariances, opacities, [colors], viewmats, intrinsics_px,
         image_size, near=near, far=far, max_per_tile=max_per_tile,
         slots_y=slots_y, slots_x=slots_x, channel_chunk=channel_chunk,
+        bwd_mode=bwd_mode,
     )
     color = outs[0]
     if background is not None:

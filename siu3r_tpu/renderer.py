@@ -96,11 +96,14 @@ def render_gaussians(
     max_per_tile: int = 4096,
     cam_rot_delta: Optional[jax.Array] = None,  # [B, V, 3]
     cam_trans_delta: Optional[jax.Array] = None,  # [B, V, 3]
+    bwd_mode: Optional[str] = None,
 ) -> RenderOutput:
     """gaussians: batched [B, G, ...] (labels/qc optional); extrinsics
     [B, V, 4, 4] camera-to-world; intrinsics [B, V, 3, 3] normalized.
     ``cam_rot_delta``/``cam_trans_delta`` perturb the poses differentiably
-    (reference render_cuda theta/rho, cuda_splatting.py:109-118)."""
+    (reference render_cuda theta/rho, cuda_splatting.py:109-118).
+    ``bwd_mode`` selects the rasterizer backward ('pallas' | 'jnp' | None =
+    trace-time default; see rasterizer.raster_bwd_mode)."""
     h, w = image_shape
     b, v = extrinsics.shape[0], extrinsics.shape[1]
     if background is None:
@@ -138,6 +141,7 @@ def render_gaussians(
             far=far,
             background=background,
             max_per_tile=max_per_tile,
+            bwd_mode=bwd_mode,
         )
 
     color, depth, alpha = jax.vmap(render_item)(

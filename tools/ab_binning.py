@@ -28,7 +28,11 @@ proj = ProjectedGaussians(
     radius=jax.random.uniform(ks[2], (G,), minval=0.0, maxval=30),
 )
 
-for name, fn in [("sort", R.bin_gaussians_sort), ("count", R.bin_gaussians_count)]:
+for name, fn in [
+    ("sort", R.bin_gaussians_sort),
+    ("count", R.bin_gaussians_count),
+    ("pallas", R.bin_gaussians_pallas),
+]:
     f = jax.jit(lambda p, fn=fn: fn(p, (H, W), 4096, 4, 2))
     t, c = f(proj)
     jax.block_until_ready((t, c))
@@ -54,7 +58,11 @@ viewmats = jnp.broadcast_to(jnp.eye(4), (6, 4, 4))
 intr = jnp.asarray([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]])
 intrs = jnp.broadcast_to(intr, (6, 3, 3))
 
-for name, fn in [("sort", R.bin_gaussians_sort), ("count", R.bin_gaussians_count)]:
+for name, fn in [
+    ("sort", R.bin_gaussians_sort),
+    ("count", R.bin_gaussians_count),
+    ("pallas", R.bin_gaussians_pallas),
+]:
     R.bin_gaussians = fn
 
     @jax.jit
@@ -68,4 +76,3 @@ for name, fn in [("sort", R.bin_gaussians_sort), ("count", R.bin_gaussians_count
         float(render(means, covs, opac, colors, viewmats, intrs))
     dt = (time.time() - t0) / 5
     print(f"rasterize_multi[{name}] 6 views: {dt * 1000:.1f} ms", file=sys.stderr)
-R.bin_gaussians = R.bin_gaussians_count
